@@ -1,0 +1,153 @@
+"""Web-Mercator tile / cell math — closed-form, three equivalent forms.
+
+Reproduces the tile grid geoproc uses (morecantile WEB_MERCATOR_TMS,
+/root/reference/geoproc/server/image.py:322,389) with the standard
+slippy-map formulas — no geo libraries required:
+
+    xtile = floor((lon + 180) / 360 * 2^z)
+    ytile = floor((1 - ln(tan(lat) + sec(lat)) / pi) / 2 * 2^z)
+
+Three implementations, kept bit-compatible:
+- `tile_cols`      — JVM Column expressions (whole-stage codegen; the hot path)
+- `tile_xy_np`     — vectorized numpy (used inside pandas UDFs and the oracle)
+- `tile_sql`       — shared-dialect SQL fragments (DuckDB oracle parity)
+
+Cell ids pack (z, x, y) into one BIGINT:  z*2^58 + x*2^29 + y  (z <= 28).
+A *parent* cell at zoom p is a bit-shift of x/y — the cell-prefix partition
+key used for co-located joins and partition pruning.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LAT = 85.05112878  # Web-Mercator latitude clamp
+Z_BITS = 29  # max zoom 28 -> x,y < 2^28 each fit below the z field
+
+
+# ---------------------------------------------------------------- numpy form
+def tile_xy_np(lat: np.ndarray, lon: np.ndarray, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized slippy-map tile coordinates (float64 in, int64 out)."""
+    n = 1 << zoom
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    lon = np.asarray(lon, dtype=np.float64)
+    xt = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    rad = np.radians(lat)
+    yt = np.floor((1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) / 2.0 * n).astype(
+        np.int64
+    )
+    return np.clip(xt, 0, n - 1), np.clip(yt, 0, n - 1)
+
+
+def cell_id_np(lat: np.ndarray, lon: np.ndarray, zoom: int) -> np.ndarray:
+    xt, yt = tile_xy_np(lat, lon, zoom)
+    return (np.int64(zoom) << (2 * Z_BITS)) | (xt << Z_BITS) | yt
+
+
+def cell_to_zxy_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    mask = (1 << Z_BITS) - 1
+    return (cell >> (2 * Z_BITS)), (cell >> Z_BITS) & mask, cell & mask
+
+
+def tile_bounds_np(z: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """Tile bbox in degrees: (west, south, east, north), vectorized."""
+    n = np.power(2.0, np.asarray(z, dtype=np.float64))
+    west = np.asarray(x) / n * 360.0 - 180.0
+    east = (np.asarray(x) + 1) / n * 360.0 - 180.0
+    north = np.degrees(np.arctan(np.sinh(math.pi * (1 - 2 * np.asarray(y) / n))))
+    south = np.degrees(np.arctan(np.sinh(math.pi * (1 - 2 * (np.asarray(y) + 1) / n))))
+    return west, south, east, north
+
+
+def covering_cells_np(minx, miny, maxx, maxy, zoom: int) -> list[np.ndarray]:
+    """Cell ids covering a bbox (degree space) at `zoom`, one array per bbox.
+
+    Closed-form range cover (no tree walk): x range from lon span, y range
+    from Mercator-projected lat span. Row-major order, deterministic.
+    """
+    n = 1 << zoom
+    x0, _ = tile_xy_np(np.zeros_like(np.atleast_1d(minx)), np.atleast_1d(minx), zoom)
+    x1, _ = tile_xy_np(np.zeros_like(np.atleast_1d(maxx)), np.atleast_1d(maxx), zoom)
+    # north edge -> smaller y
+    _, y0 = tile_xy_np(np.atleast_1d(maxy), np.zeros_like(np.atleast_1d(maxy)), zoom)
+    _, y1 = tile_xy_np(np.atleast_1d(miny), np.zeros_like(np.atleast_1d(miny)), zoom)
+    out = []
+    zbase = np.int64(zoom) << (2 * Z_BITS)
+    for a, b, c, d in zip(x0, x1, y0, y1):
+        xs = np.arange(a, b + 1, dtype=np.int64)
+        ys = np.arange(c, d + 1, dtype=np.int64)
+        grid = (zbase | (xs[:, None] << Z_BITS) | ys[None, :]).ravel()
+        out.append(grid)
+    assert all(len(c) <= n * n for c in out)
+    return out
+
+
+# --------------------------------------------------------------- Column form
+def tile_cols(lat: Column, lon: Column, zoom: int) -> tuple[Column, Column]:
+    """JVM-side tile coordinates — stays inside whole-stage codegen."""
+    n = F.lit(1 << zoom)
+    lat_c = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat.cast("double")))
+    xt = F.floor((lon.cast("double") + F.lit(180.0)) / F.lit(360.0) * n).cast("bigint")
+    rad = F.radians(lat_c)
+    yt = F.floor(
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * n
+    ).cast("bigint")
+    clamp = lambda c: F.greatest(F.lit(0).cast("bigint"), F.least(F.lit((1 << zoom) - 1).cast("bigint"), c))  # noqa: E731
+    return clamp(xt), clamp(yt)
+
+
+def cell_id_col(lat: Column, lon: Column, zoom: int) -> Column:
+    xt, yt = tile_cols(lat, lon, zoom)
+    return (
+        F.lit(zoom).cast("bigint") * F.lit(1 << (2 * Z_BITS)).cast("bigint")
+        + xt * F.lit(1 << Z_BITS).cast("bigint")
+        + yt
+    )
+
+
+def parent_cell_col(cell: Column, from_zoom: int, to_zoom: int) -> Column:
+    """Cell-prefix: re-key a cell id to a coarser zoom (partition key)."""
+    assert to_zoom <= from_zoom
+    d = from_zoom - to_zoom
+    x = F.shiftrightunsigned(
+        (cell - F.lit(from_zoom).cast("bigint") * F.lit(1 << (2 * Z_BITS)).cast("bigint")),
+        Z_BITS,
+    )
+    y = cell % F.lit(1 << Z_BITS).cast("bigint")
+    return (
+        F.lit(to_zoom).cast("bigint") * F.lit(1 << (2 * Z_BITS)).cast("bigint")
+        + F.shiftrightunsigned(x, d) * F.lit(1 << Z_BITS).cast("bigint")
+        + F.shiftrightunsigned(y, d)
+    )
+
+
+# ------------------------------------------------------------------ SQL form
+def tile_sql(lat_expr: str, lon_expr: str, zoom: int) -> tuple[str, str]:
+    """Shared-dialect SQL fragments for (xtile, ytile) — DuckDB oracle parity.
+
+    `lat_expr`/`lon_expr` must be *degree-space* SQL expressions.
+    """
+    n = 1 << zoom
+    lat_c = f"greatest(-{MAX_LAT}, least({MAX_LAT}, CAST({lat_expr} AS DOUBLE)))"
+    xt = (
+        f"greatest(CAST(0 AS BIGINT), least(CAST({n - 1} AS BIGINT), "
+        f"CAST(floor((CAST({lon_expr} AS DOUBLE) + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    )
+    yt = (
+        f"greatest(CAST(0 AS BIGINT), least(CAST({n - 1} AS BIGINT), "
+        f"CAST(floor((1.0 - ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c}))) / pi()) "
+        f"/ 2.0 * {n}) AS BIGINT)))"
+    )
+    return xt, yt
+
+
+def cell_id_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
+    xt, yt = tile_sql(lat_expr, lon_expr, zoom)
+    return f"(CAST({zoom} AS BIGINT) * {1 << (2 * Z_BITS)} + ({xt}) * {1 << Z_BITS} + ({yt}))"

@@ -1,0 +1,101 @@
+"""Coordinate extraction from page text — Arrow-vectorized, deterministic.
+
+The pinned extraction spec (FIXTURES.md T1): UTF-8 text, three coordinate
+mention formats, matches taken in document order, first match wins:
+
+    lat 48.8566, lon 2.3522
+    (40.7128, -74.0060)
+    geo:-33.8688,151.2093
+
+Determinism contract (input_hint): extraction(text) is byte-identical per
+url across runs, partitionings, and parallelism levels. The regexes are
+compiled once per executor; no locale, no normalization beyond the already-
+UTF-8 input; ties broken by document order.
+
+Two implementations with identical results:
+- `extract_coords_udf` — pandas UDF (Arrow-batched; the mandated path)
+- `extract_coords_cols` — pure JVM `regexp_extract` columns (the zero-Python
+  fast path for clusters where even Arrow transfer matters)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUM = r"(-?\d+\.\d+)"
+# Alternation order is part of the pinned spec: scanning is left-to-right by
+# match *position*; among patterns matching at the same position the first
+# alternative wins.
+_PATTERNS = [
+    re.compile(rf"lat {_NUM}, lon {_NUM}"),
+    re.compile(rf"\({_NUM}, {_NUM}\)"),
+    re.compile(rf"geo:{_NUM},{_NUM}"),
+]
+_COMBINED = re.compile("|".join(p.pattern for p in _PATTERNS))
+
+_JVM_PATTERN = (
+    rf"(?:lat {_NUM}, lon {_NUM})|(?:\({_NUM}, {_NUM}\))|(?:geo:{_NUM},{_NUM})"
+)
+
+COORD_SCHEMA = T.StructType(
+    [
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+def _first_coord(text: str) -> tuple[float | None, float | None]:
+    if not text:
+        return None, None
+    m = _COMBINED.search(text)
+    if m is None:
+        return None, None
+    groups = [g for g in m.groups() if g is not None]
+    return float(groups[0]), float(groups[1])
+
+
+@F.pandas_udf(COORD_SCHEMA)
+def extract_coords_udf(text: pd.Series) -> pd.DataFrame:
+    """First coordinate mention per page (Arrow-batched)."""
+    pairs = [_first_coord(t) for t in text]
+    return pd.DataFrame(pairs, columns=["lat", "lon"])
+
+
+@F.pandas_udf(T.ArrayType(COORD_SCHEMA))
+def extract_coords_all_udf(text: pd.Series) -> pd.Series:
+    """All coordinate mentions per page, in document order."""
+    out = []
+    for t in text:
+        if not t:
+            out.append([])
+            continue
+        mentions = []
+        for m in _COMBINED.finditer(t):
+            groups = [g for g in m.groups() if g is not None]
+            mentions.append({"lat": float(groups[0]), "lon": float(groups[1])})
+        out.append(mentions)
+    return pd.Series(out)
+
+
+def extract_coords_cols(text: Column) -> tuple[Column, Column]:
+    """JVM-only variant: same spec via regexp_extract (no Python boundary).
+
+    Java regex semantics for this pattern set match Python's `re` (no
+    backtracking differences arise: the alternatives are disjoint literals).
+    """
+    lat = F.lit(None).cast("double")
+    lon = F.lit(None).cast("double")
+    # First *positional* match: Java regex alternation also scans by position.
+    m = F.regexp_extract(text, _JVM_PATTERN, 0)
+    for i in (1, 3, 5):  # group pairs of the three alternatives
+        g_lat = F.regexp_extract(text, _JVM_PATTERN, i)
+        g_lon = F.regexp_extract(text, _JVM_PATTERN, i + 1)
+        lat = F.when((m != "") & (g_lat != ""), g_lat.cast("double")).otherwise(lat)
+        lon = F.when((m != "") & (g_lon != ""), g_lon.cast("double")).otherwise(lon)
+    return lat, lon

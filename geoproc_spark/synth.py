@@ -1,0 +1,229 @@
+"""Deterministic synthetic geo corpus, shared between Spark and the DuckDB oracle.
+
+The driver's correctness gate runs each Spark query AND an ANSI-SQL oracle
+side-by-side on the same parquet tables. To make the comparison exact we
+derive every synthetic value with *integer arithmetic on doc_id* (division by
+10^4 only at the very end), so Spark and DuckDB produce bit-identical doubles.
+The derivation is written once, in a SQL dialect subset that parses in BOTH
+engines, and reused verbatim by `queries()` and `oracle_sql()`.
+
+Layout mirrors FIXTURES.md:
+- `pages`   — Common-Crawl-style rows derived from the `documents` table:
+  60% of pages embed one coordinate mention in the text, in one of three
+  pinned formats; ~33% of geotagged pages cluster in 5 hot-spot cities
+  (skew fixture, FIXTURES.md T4).
+- `polygons` — 15 axis-aligned boxes (3 nested sizes around each hot spot;
+  overlapping, so a point can match several features -> exercises dedup).
+  The engine treats them as general closed rings; only the oracle exploits
+  their rectangularity. Box edges sit on half-integers in scaled space so
+  no integer-scaled point ever lies exactly on a boundary.
+- `knn_queries` — 20 fixed query points, half near hot spots.
+
+Coordinates are scaled by 10^4 ("scaled space"): lat_s in [-850000, 850000],
+lon_s in [-1800000, 1800000]. Distances for kNN are squared-euclidean in
+scaled space — exact BIGINT math, no floating point at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SCALE = 10_000
+
+# (name, lat_s, lon_s) — fixed hot-spot centers (FIXTURES.md T4).
+HOT_CENTERS = [
+    ("paris", 488566, 23522),
+    ("nyc", 407128, -740060),
+    ("sydney", -338688, 1512093),
+    ("saopaulo", -235505, -466333),
+    ("lagos", 65244, 33792),
+]
+
+# Polygon half-sizes in scaled space; .5 offsets keep integer points off edges.
+POLY_HALF_SIZES = [300.5, 800.5, 1500.5]
+
+
+def _case_over_centers(idx_expr: str, values: list[int]) -> str:
+    whens = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(values))
+    return f"CASE {idx_expr} {whens} ELSE {values[-1]} END"
+
+
+def _coord_str(col: str) -> str:
+    """SQL building the canonical 4-decimal string of a scaled coordinate.
+
+    Built from integer parts (never by casting a double to string), so the
+    text is byte-identical across engines, runs, and partitionings — the
+    input_hint's per-url invariant.
+    """
+    return (
+        f"concat(CASE WHEN {col} < 0 THEN '-' ELSE '' END, "
+        f"CAST(CAST(floor(abs({col}) / {SCALE}) AS BIGINT) AS STRING), '.', "
+        f"lpad(CAST(abs({col}) % {SCALE} AS STRING), 4, '0'))"
+    )
+
+
+def pages_sql(replicate: int = 1) -> str:
+    """Shared-dialect SQL deriving the `pages` corpus from `documents`.
+
+    Columns: page_id BIGINT, url STRING, lang STRING, text STRING,
+             lat_s BIGINT, lon_s BIGINT (NULL when the page has no coords),
+             has_geo INT (0/1), is_hot INT (0/1).
+    lat_s/lon_s are the ground truth the extraction UDF must recover from
+    `text`; downstream oracle SQL uses them directly.
+
+    replicate > 1 multiplies the corpus (bench only; requires a `repl`
+    helper view with column `i` — see `register_replicate_view`).
+    """
+    lat_hot = _case_over_centers("hc", [c[1] for c in HOT_CENTERS])
+    lon_hot = _case_over_centers("hc", [c[2] for c in HOT_CENTERS])
+    if replicate == 1:
+        src = "SELECT doc_id AS page_id, lang, text AS doc_text FROM documents"
+    else:
+        src = (
+            f"SELECT doc_id * {replicate} + repl.i AS page_id, lang, "
+            "text AS doc_text FROM documents CROSS JOIN repl"
+        )
+    return f"""
+WITH src AS ({src}),
+base AS (
+  SELECT page_id, lang, doc_text,
+         page_id % 10 AS m,
+         page_id % 5 AS hc,
+         (page_id * 7919) % 1000 - 500 AS off1,
+         (page_id * 104729) % 1000 - 500 AS off2,
+         (page_id * 99991) % 1600000 - 800000 AS cold_lat,
+         (page_id * 15485863) % 3600000 - 1800000 AS cold_lon
+  FROM src
+),
+geo AS (
+  SELECT page_id, lang, doc_text, m,
+         CASE WHEN m < 2 THEN {lat_hot} + off1 ELSE cold_lat END AS g_lat,
+         CASE WHEN m < 2 THEN {lon_hot} + off2 ELSE cold_lon END AS g_lon
+  FROM base
+),
+txt AS (
+  SELECT page_id, lang, m, g_lat, g_lon,
+         CASE WHEN m < 6 THEN
+           CASE page_id % 3
+             WHEN 0 THEN concat('lat ', {_coord_str("g_lat")}, ', lon ', {_coord_str("g_lon")})
+             WHEN 1 THEN concat('(', {_coord_str("g_lat")}, ', ', {_coord_str("g_lon")}, ')')
+             ELSE concat('geo:', {_coord_str("g_lat")}, ',', {_coord_str("g_lon")})
+           END
+         ELSE '' END AS coord_part,
+         substr(doc_text, 1, 120) AS snippet
+  FROM geo
+)
+SELECT page_id,
+       concat('https://site', CAST(page_id % 1000 AS STRING), '.example/p/',
+              CAST(page_id AS STRING)) AS url,
+       lang,
+       concat('Page ', CAST(page_id AS STRING), '. ', snippet,
+              CASE WHEN m < 6 THEN concat(' near ', coord_part, ' .') ELSE ' .' END) AS text,
+       CASE WHEN m < 6 THEN g_lat ELSE NULL END AS lat_s,
+       CASE WHEN m < 6 THEN g_lon ELSE NULL END AS lon_s,
+       CASE WHEN m < 6 THEN 1 ELSE 0 END AS has_geo,
+       CASE WHEN m < 2 THEN 1 ELSE 0 END AS is_hot
+FROM txt
+""".strip()
+
+
+def polygons_values_sql() -> str:
+    """Inline VALUES relation of the polygon layer (shared dialect).
+
+    Columns: feature_id BIGINT, clat BIGINT, clon BIGINT, half DOUBLE.
+    The engine converts these to general closed rings; the oracle uses the
+    box predicate directly.
+    """
+    rows = []
+    fid = 0
+    for _name, clat, clon in HOT_CENTERS:
+        for half in POLY_HALF_SIZES:
+            rows.append(f"({fid}, {clat}, {clon}, {half})")
+            fid += 1
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS polyv(feature_id, clat, clon, half)"
+    )
+
+
+def polygon_rings() -> list[dict]:
+    """Driver-side polygon layer as closed CCW rings in degree space.
+
+    Ring = flat [x0,y0, x1,y1, ...] with the first point repeated last
+    (FIXTURES.md T2). The engine's PIP path never sees the box structure.
+    """
+    feats = []
+    fid = 0
+    for _name, clat, clon in HOT_CENTERS:
+        for half in POLY_HALF_SIZES:
+            minx = (clon - half) / SCALE
+            maxx = (clon + half) / SCALE
+            miny = (clat - half) / SCALE
+            maxy = (clat + half) / SCALE
+            ring = [minx, miny, maxx, miny, maxx, maxy, minx, maxy, minx, miny]
+            feats.append(
+                {
+                    "layer_id": "admin",
+                    "feature_id": fid,
+                    "ring": ring,
+                    "minx": minx,
+                    "miny": miny,
+                    "maxx": maxx,
+                    "maxy": maxy,
+                }
+            )
+            fid += 1
+    return feats
+
+
+def knn_query_points() -> list[tuple[int, int, int, int]]:
+    """20 deterministic (qid, lat_s, lon_s, k) query points; half near hot spots."""
+    out = []
+    for qid in range(20):
+        if qid < 10:
+            _n, clat, clon = HOT_CENTERS[qid % 5]
+            lat = clat + (qid * 977) % 800 - 400
+            lon = clon + (qid * 1237) % 800 - 400
+        else:
+            lat = (qid * 611953) % 1600000 - 800000
+            lon = (qid * 799631) % 3600000 - 1800000
+        out.append((qid, lat, lon, 5))
+    return out
+
+
+def knn_queries_values_sql() -> str:
+    rows = ", ".join(f"({q}, {la}, {lo}, {k})" for q, la, lo, k in knn_query_points())
+    return f"SELECT * FROM (VALUES {rows}) AS knnv(qid, qlat_s, qlon_s, k)"
+
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register the driver-generated parquet tables as temp views."""
+    for name in tables or TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def register_replicate_view(spark: SparkSession, replicate: int) -> None:
+    spark.range(replicate).selectExpr("id AS i").createOrReplaceTempView("repl")
+
+
+def pages_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """The pages corpus as a DataFrame (documents view must not be stale)."""
+    load_tables(spark, sf_dir, ["documents"])
+    if replicate > 1:
+        register_replicate_view(spark, replicate)
+    return spark.sql(pages_sql(replicate))
