@@ -1,0 +1,162 @@
+"""Exact kNN join via cell-ring expansion (north_rule; cf. SURVEY.md §2.4).
+
+Semantics: for each query point, the k nearest pages by squared-euclidean
+distance in scaled-integer space (lat_s/lon_s, degrees x 10^4) — exact BIGINT
+math, no floating point; ties broken by page_id. Planar metric (no meridian
+wrap), pinned for oracle parity.
+
+Algorithm (two-phase filter-refine, exact):
+  1. Candidate phase: join queries to pages in the query's cell ring at
+     `zoom` (ring radius doubles until every query has >= k candidates).
+  2. Bound phase: the kth candidate distance d_k is an upper bound on the
+     true kth distance. Re-join against all cells intersecting the
+     bbox [q +- ceil(sqrt(d_k))] and take the exact top-k by window rank.
+Phase-2 correctness does not depend on phase-1 ring geometry — any >= k
+candidates give a valid bound, so Mercator y-distortion in the ring metric
+is harmless.
+
+Scale: both phases are cell equi-joins (shuffle on cell key, AQE-coalesced);
+queries are typically the small side and broadcast by Catalyst. The driver
+loop runs O(log(world/cell)) rounds in the worst case, each a single job on
+the *unresolved* queries only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cells
+
+DEFAULT_KNN_ZOOM = 6
+SCALE = 10_000
+
+
+def _pages_with_cell(pages: DataFrame, zoom: int) -> DataFrame:
+    return pages.withColumn(
+        "_cell",
+        cells.cell_id_col(F.col("lat_s") / SCALE, F.col("lon_s") / SCALE, zoom),
+    )
+
+
+def _ring_cells_udf(zoom: int, radius: int):
+    """ARRAY<BIGINT> of cells within `radius` tiles of the point's cell
+    (x wraps around the antimeridian, y clamps to the grid)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        n = 1 << zoom
+        xt, yt = cells.tile_xy_np(
+            lat_s.to_numpy(dtype=np.float64) / SCALE,
+            lon_s.to_numpy(dtype=np.float64) / SCALE,
+            zoom,
+        )
+        offs = np.arange(-radius, radius + 1, dtype=np.int64)
+        zbase = np.int64(zoom) << (2 * cells.Z_BITS)
+        xs = (xt[:, None] + offs[None, :]) % n
+        ys = yt[:, None] + offs[None, :]
+        out = []
+        for i in range(len(xt)):
+            yy = ys[i][(ys[i] >= 0) & (ys[i] < n)]
+            grid = zbase | (xs[i][:, None] << cells.Z_BITS) | yy[None, :]
+            out.append(np.unique(grid.ravel()).tolist())
+        return pd.Series(out)
+
+    return ring
+
+
+def _bbox_cells_udf(zoom: int):
+    """Covering cells of [q +- r] where r = ceil(sqrt(d_k)) scaled units."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover(lat_s: pd.Series, lon_s: pd.Series, d_k: pd.Series) -> pd.Series:
+        la = lat_s.to_numpy(dtype=np.float64)
+        lo = lon_s.to_numpy(dtype=np.float64)
+        r = np.ceil(np.sqrt(d_k.to_numpy(dtype=np.float64)))
+        covers = cells.covering_cells_np(
+            np.maximum((lo - r) / SCALE, -180.0),
+            np.maximum((la - r) / SCALE, -cells.MAX_LAT),
+            np.minimum((lo + r) / SCALE, 180.0),
+            np.minimum((la + r) / SCALE, cells.MAX_LAT),
+            zoom,
+        )
+        return pd.Series([c.tolist() for c in covers])
+
+    return cover
+
+
+def _d2():
+    return (
+        (F.col("qlat_s") - F.col("lat_s")) * (F.col("qlat_s") - F.col("lat_s"))
+        + (F.col("qlon_s") - F.col("lon_s")) * (F.col("qlon_s") - F.col("lon_s"))
+    ).alias("d2")
+
+
+def knn_join(
+    queries: DataFrame,
+    pages: DataFrame,
+    zoom: int = DEFAULT_KNN_ZOOM,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact kNN: queries(qid, qlat_s, qlon_s, k) x pages(page_id, lat_s, lon_s)
+    -> (qid, page_id, rank)."""
+    pages_c = _pages_with_cell(
+        pages.select("page_id", "lat_s", "lon_s").filter(F.col("lat_s").isNotNull()),
+        zoom,
+    ).persist()
+
+    # Phase 1: ring expansion until every query holds >= k candidates.
+    unresolved = queries.select("qid", "qlat_s", "qlon_s", "k")
+    bounds = None
+    radius = 1
+    for _ in range(max_rounds):
+        ring = _ring_cells_udf(zoom, radius)
+        qcells = unresolved.withColumn(
+            "_cell", F.explode(ring(F.col("qlat_s"), F.col("qlon_s")))
+        )
+        cand = qcells.join(pages_c, "_cell", "inner").select(
+            "qid", "qlat_s", "qlon_s", "k", "page_id", _d2()
+        )
+        wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("page_id").asc())
+        kth = (
+            cand.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= F.col("k"))
+            .groupBy("qid", "qlat_s", "qlon_s", "k")
+            .agg(F.count("*").alias("n"), F.max("d2").alias("d_k"))
+        )
+        resolved = kth.filter(F.col("n") >= F.col("k")).select(
+            "qid", "qlat_s", "qlon_s", "k", "d_k"
+        )
+        bounds = resolved if bounds is None else bounds.unionByName(resolved)
+        unresolved = unresolved.join(resolved.select("qid"), "qid", "left_anti")
+        if unresolved.isEmpty():
+            break
+        radius *= 2
+    else:
+        # Degenerate corpus (< k pages anywhere): fall back to a full scan
+        # bound for the stragglers.
+        world = unresolved.withColumn("d_k", F.lit(float((4e6) ** 2 * 2)))
+        bounds = world if bounds is None else bounds.unionByName(world)
+
+    # Phase 2: exact top-k within the certified radius.
+    cover = _bbox_cells_udf(zoom)
+    qcover = bounds.withColumn(
+        "_cell", F.explode(cover(F.col("qlat_s"), F.col("qlon_s"), F.col("d_k")))
+    )
+    cand2 = (
+        qcover.join(pages_c, "_cell", "inner")
+        .select("qid", "k", "page_id", _d2(), "d_k")
+        .filter(F.col("d2") <= F.col("d_k"))
+        # a page in several covered cells appears once per (qid): cells are
+        # disjoint, each page lives in exactly one -> no dedup needed
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("page_id").asc())
+    out = (
+        cand2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("qid", "page_id", "rank")
+    )
+    return out

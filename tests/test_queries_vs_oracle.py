@@ -1,0 +1,28 @@
+"""Mirror of the driver's correctness gate: every registered Spark query must
+match its DuckDB oracle row-for-row (sorted columns, sorted rows)."""
+
+import pytest
+
+from geoproc_spark import queries as Q
+from tests.conftest import SF_DIR, ddb_rows, spark_rows
+
+
+@pytest.mark.parametrize("name", sorted(Q.ORACLE_SQL))
+def test_query_matches_oracle(spark, ddb, name):
+    df = Q.SPARK_QUERIES[name](spark, SF_DIR)
+    got = spark_rows(df)
+    want = ddb_rows(ddb, Q.ORACLE_SQL[name])
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    assert got == want, f"{name}: value mismatch"
+    assert len(got) > 0, f"{name}: empty result proves nothing"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"feature_id", "n_pages"}
+    names = set(e.queries())
+    assert set(e.oracle_sql()) <= names
