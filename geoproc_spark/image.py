@@ -1,0 +1,248 @@
+"""Lazy Image API — the geoproc client surface, Spark-native.
+
+The reference client (/root/reference/geoproc/image.py) builds a JSON call
+graph per operation and ships it to a server for window-at-a-time pull
+evaluation. Here the DataFrame lineage IS the call graph: every operator
+returns a new `Image` wrapping an unevaluated DataFrame, and Catalyst plays
+the role of the server's `eval_image` interpreter
+(/root/reference/geoproc/server/image.py:542-549). Nothing touches pixels
+until an action (export/collect/stats) runs — the same two-level laziness
+the reference gets from closure composition.
+
+API parity with the reference client class (geoproc/image.py):
+  load, constant, select, export, band_names/info,
+  __add__ __radd__ __sub__ __rsub__ __mul__ __rmul__ __truediv__
+  __rtruediv__ __floordiv__ __rfloordiv__ __abs__,
+  __lt__ __le__ __eq__ __ne__ __gt__ __ge__
+plus the vis pipeline (rescale/opacity, server app.py:155-171) and a real
+`statistics()` (the reference's is an empty stub, server/image.py:378-379).
+
+Pinned reference semantics (SURVEY.md §7.5): binary results are float64,
+comparisons give 0.0/1.0, masks union via maximum, left operand's band
+names win, constants are boundless and fully valid.
+"""
+
+from __future__ import annotations
+
+import numbers
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import algebra as A
+
+TILE_KEY = A.TILE_KEY
+
+
+class Image:
+    """A lazy multi-band tiled image: tile-row DataFrame + driver-side schema.
+
+    `df` columns: z INT, x INT, y INT, data ARRAY<ARRAY<DOUBLE>> (bands x
+    pixels), mask ARRAY<INT> (uint8-valued, 255 = valid). `scalar` images
+    (from `constant`) are boundless: they have no df and fold into kernels.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame | None,
+        band_names: list[str],
+        dtype: str,
+        n_px: int,
+        scalar: float | None = None,
+    ):
+        self.df = df
+        self.band_names = list(band_names)
+        self.dtype = dtype
+        self.n_px = n_px
+        self.scalar = scalar
+
+    # ------------------------------------------------------------- sources
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, n_bands: int | None = None) -> "Image":
+        """Open a tile table (parquet) — schema read from the files, bands
+        named B1..Bn like the reference loader
+        (/root/reference/geoproc/server/image.py:95)."""
+        df = spark.read.parquet(path)
+        first = df.select(F.size(F.col("data")).alias("nb"), F.size(F.col("data")[0]).alias("np")).first()
+        nb = n_bands or first["nb"]
+        return cls(df.select(*TILE_KEY, "data", "mask"), [f"B{i+1}" for i in range(nb)], "float64", first["np"])
+
+    @classmethod
+    def from_df(cls, df: DataFrame, n_bands: int, n_px: int, dtype: str = "float64") -> "Image":
+        return cls(df.select(*TILE_KEY, "data", "mask"), [f"B{i+1}" for i in range(n_bands)], dtype, n_px)
+
+    @classmethod
+    def constant(cls, value: float, n_px: int = 0) -> "Image":
+        """Boundless constant (/root/reference/geoproc/server/image.py:120-139)."""
+        return cls(None, ["constant"], "float64", n_px, scalar=float(value))
+
+    # -------------------------------------------------------------- schema
+    @property
+    def info(self) -> dict:
+        """Metadata without touching pixels — the /info path
+        (/root/reference/geoproc/server/app.py:116-122)."""
+        return {
+            "band_names": self.band_names,
+            "dtype": self.dtype,
+            "n_px": self.n_px,
+            "boundless": self.df is None,
+        }
+
+    @property
+    def n_bands(self) -> int:
+        return len(self.band_names)
+
+    # ---------------------------------------------------------- projection
+    def select(self, bands: list[str] | list[int]) -> "Image":
+        """Band projection; validates names against the schema like the
+        server select (/root/reference/geoproc/server/image.py:141-160).
+        Pure column slicing — Catalyst prunes the untouched bands."""
+        idxs = []
+        for b in bands:
+            if isinstance(b, int):
+                idxs.append(b)
+            else:
+                if b not in self.band_names:
+                    raise ValueError(f"band {b!r} not in {self.band_names}")
+                idxs.append(self.band_names.index(b))
+        names = [self.band_names[i] for i in idxs]
+        df = self.df.select(
+            *TILE_KEY,
+            F.array(*[F.col("data")[i] for i in idxs]).alias("data"),
+            "mask",
+        )
+        return Image(df, names, self.dtype, self.n_px)
+
+    # ------------------------------------------------------------- algebra
+    def _binary(self, other, op: str, reverse: bool = False) -> "Image":
+        if isinstance(other, numbers.Number):
+            other = Image.constant(float(other), self.n_px)
+        if self.scalar is not None and other.scalar is not None:
+            raise ValueError("at least one operand must have tiles")
+
+        if other.scalar is not None:  # image op constant
+            data = A.scalar_data(op, F.col("data"), other.scalar, self.n_bands, reverse=reverse)
+            df = self.df.select(*TILE_KEY, data.alias("data"), A.full_mask(self.n_px).alias("mask"))
+            return Image(df, self.band_names, "float64", self.n_px)
+        if self.scalar is not None:  # constant op image
+            return other._binary(self, op, reverse=not reverse)
+
+        a, b = (other, self) if reverse else (self, other)
+        j = A.outer_align(a.df, b.df, a.n_bands, b.n_bands, self.n_px)
+        data = A.binary_data(op, F.col("_da"), F.col("_db"), a.n_bands, b.n_bands)
+        mask = A.mask_union(F.col("_ma"), F.col("_mb"))
+        df = j.select(*TILE_KEY, data.alias("data"), mask.alias("mask"))
+        # left operand's band names (/root/reference/geoproc/server/image.py:312)
+        names = a.band_names if len(a.band_names) == max(a.n_bands, b.n_bands) else [
+            f"B{i+1}" for i in range(max(a.n_bands, b.n_bands))
+        ]
+        return Image(df, names, "float64", self.n_px)
+
+    def __add__(self, o):
+        return self._binary(o, "add")
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._binary(o, "sub")
+
+    def __rsub__(self, o):
+        return self._binary(o, "sub", reverse=True)
+
+    def __mul__(self, o):
+        return self._binary(o, "mul")
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return self._binary(o, "truediv")
+
+    def __rtruediv__(self, o):
+        return self._binary(o, "truediv", reverse=True)
+
+    def __floordiv__(self, o):
+        return self._binary(o, "floordiv")
+
+    def __rfloordiv__(self, o):
+        return self._binary(o, "floordiv", reverse=True)
+
+    def __lt__(self, o):
+        return self._binary(o, "lt")
+
+    def __le__(self, o):
+        return self._binary(o, "le")
+
+    def __eq__(self, o):  # noqa: PLW3201 — operator object, like PySpark Column.__eq__
+        return self._binary(o, "eq")
+
+    def __ne__(self, o):  # noqa: PLW3201
+        return self._binary(o, "ne")
+
+    def __gt__(self, o):
+        return self._binary(o, "gt")
+
+    def __ge__(self, o):
+        return self._binary(o, "ge")
+
+    __hash__ = None
+
+    def __abs__(self):
+        df = self.df.select(
+            *TILE_KEY, A.abs_data(F.col("data"), self.n_bands).alias("data"), "mask"
+        )
+        return Image(df, self.band_names, self.dtype, self.n_px)
+
+    # ------------------------------------------------------- visualization
+    def rescale(self, rng) -> "Image":
+        ranges = A.expand_scale_range(rng, self.n_bands)
+        df = self.df.select(
+            *TILE_KEY, A.rescale_data(F.col("data"), ranges).alias("data"), "mask"
+        )
+        return Image(df, self.band_names, "float64", self.n_px)
+
+    def with_opacity(self, opacity: float) -> "Image":
+        df = self.df.select(
+            *TILE_KEY, "data", A.opacity_mask(F.col("mask"), opacity).alias("mask")
+        )
+        return Image(df, self.band_names, self.dtype, self.n_px)
+
+    # ------------------------------------------------------------- actions
+    def statistics(self) -> DataFrame:
+        """Per-tile per-band stats — implements the reference's empty stub
+        (/root/reference/geoproc/server/image.py:378-379) as a hash
+        aggregate: (z,x,y,band, n_valid, sum, min, max). Valid = mask 255.
+        Partial+final aggregation is Spark's; results are exact for
+        integer-valued data."""
+        exploded = self.df.select(
+            *TILE_KEY,
+            F.posexplode(F.col("data")).alias("band_idx", "band_data"),
+            "mask",
+        ).select(
+            *TILE_KEY,
+            "band_idx",
+            F.zip_with(
+                "band_data", "mask", lambda v, m: F.when(m == 255, v)
+            ).alias("valid_px"),
+        )
+        return exploded.select(
+            *TILE_KEY,
+            "band_idx",
+            F.size(F.filter("valid_px", lambda v: v.isNotNull())).alias("n_valid"),
+            F.aggregate(
+                "valid_px", F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0))
+            ).alias("sum"),
+            F.array_min("valid_px").alias("min"),
+            F.array_max("valid_px").alias("max"),
+        )
+
+    def export(self, path: str, partition_zooms: bool = True, rows_per_file: int = 4096) -> None:
+        """Materialize to a partitioned parquet tile table — the distributed
+        analog of the reference's serial 4096^2-window COG export loop
+        (/root/reference/geoproc/server/image.py:162-241, WINDOW_SIZE at
+        :32). Window grid -> partition grid; deterministic write order via
+        range partitioning on the tile key."""
+        out = self.df.repartitionByRange(*TILE_KEY).sortWithinPartitions(*TILE_KEY)
+        writer = out.write.mode("overwrite").option("maxRecordsPerFile", rows_per_file)
+        if partition_zooms:
+            writer = writer.partitionBy("z")
+        writer.parquet(path)

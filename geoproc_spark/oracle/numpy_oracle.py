@@ -1,0 +1,67 @@
+"""Single-process numpy oracle for the image-algebra kernels.
+
+Straight-line reimplementation of the reference server's pixel semantics
+(the role /root/reference/geoproc/server/image.py plays for the client):
+used by the kernel golden tests (SURVEY.md §5.2) to check the distributed
+Image pipeline block-for-block. Deliberately naive — dict of tiles, no
+Spark, no vectorization tricks — so it can be audited against the
+reference's cited lines directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# tiles: dict[(z,x,y)] -> (data[bands,px] float64, mask[px] int)
+Tiles = dict
+
+
+def _align(a: Tiles, b: Tiles, n_bands_a: int, n_bands_b: int, n_px: int):
+    keys = sorted(set(a) | set(b))
+    za = (np.zeros((n_bands_a, n_px)), np.zeros(n_px, dtype=np.int64))
+    zb = (np.zeros((n_bands_b, n_px)), np.zeros(n_px, dtype=np.int64))
+    for k in keys:
+        yield k, a.get(k, za), b.get(k, zb)
+
+
+def binary(op, a: Tiles, b: Tiles, n_bands_a: int, n_bands_b: int, n_px: int) -> Tiles:
+    """Reference _operator: ufunc on data, float64 promotion (:311),
+    mask = np.maximum (:300)."""
+    out = {}
+    for k, (da, ma), (db, mb) in _align(a, b, n_bands_a, n_bands_b, n_px):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            data = op(da, db).astype(np.float64)
+        out[k] = (data, np.maximum(ma, mb))
+    return out
+
+
+def scalar_op(op, a: Tiles, scalar: float, reverse: bool = False) -> Tiles:
+    """Image op boundless constant: result fully valid
+    (/root/reference/geoproc/server/image.py:120-139 + :300)."""
+    out = {}
+    for k, (da, ma) in a.items():
+        data = (op(scalar, da) if reverse else op(da, scalar)).astype(np.float64)
+        out[k] = (data, np.full_like(ma, 255))
+    return out
+
+
+def abs_(a: Tiles) -> Tiles:
+    return {k: (np.abs(d), m) for k, (d, m) in a.items()}
+
+
+def rescale(a: Tiles, ranges) -> Tiles:
+    out = {}
+    for k, (d, m) in a.items():
+        bands = [(d[i] - lo) / (hi - lo) * 255.0 for i, (lo, hi) in enumerate(ranges)]
+        out[k] = (np.stack(bands), m)
+    return out
+
+
+def opacity(a: Tiles, op_val: float) -> Tiles:
+    """mask *= round((1-opacity)*255) in uint8 — wraparound pinned
+    (/root/reference/geoproc/server/app.py:170-171)."""
+    if op_val >= 1.0:
+        return a
+    k8 = round((1.0 - op_val) * 255)
+    # uint8 in-place multiply wraps mod 256 — written as modulo for clarity
+    return {k: (d, (m * k8) % 256) for k, (d, m) in a.items()}

@@ -182,6 +182,84 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_op.knn_join(queries, pages)
 
 
+# ---------------------------------------------------------------- tile_algebra
+def _sum_px(data_col, n_bands: int):
+    """Exact BIGINT checksum over all bands x pixels of a tile (JVM fold)."""
+    e = None
+    for i in range(n_bands):
+        t = F.aggregate(
+            data_col[i], F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+        )
+        e = t if e is None else e + t
+    return e
+
+
+def _mask_sum(mask_col):
+    return F.aggregate(mask_col, F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint"))
+
+
+_PA0 = synth.tile_pixel_sql("t.x", "u.y", "r.i", 1)
+_PA1 = synth.tile_pixel_sql("t.x", "u.y", "r.i", 2)
+_PB = synth.tile_pixel_sql("t.x", "u.y", "r.i", 3)
+_MASK = synth.tile_mask_sql("t.x", "u.y", "r.i")
+
+_TILE_ALGEBRA_ORACLE = f"""
+WITH px AS (
+  SELECT t.x AS x, u.y AS y,
+         CASE WHEN t.x <= 3 THEN {_PA0} ELSE 0 END AS pa0,
+         CASE WHEN t.x <= 3 THEN {_PA1} ELSE 0 END AS pa1,
+         CASE WHEN t.x >= 2 THEN {_PB} ELSE 0 END AS pb,
+         CASE WHEN t.x <= 3 THEN {_MASK} ELSE 0 END AS ma,
+         CASE WHEN t.x >= 2 THEN {_MASK} ELSE 0 END AS mb,
+         t.x <= 3 AS in_a
+  FROM range(6) t(x), range(4) u(y), range({synth.TILE_PX}) r(i)
+)
+SELECT {synth.TILE_Z} AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       CAST(sum((pa0 + pb) + (pa1 + pb)) AS BIGINT) AS sum_c,
+       CAST(sum(greatest(ma, mb)) AS BIGINT) AS mask_c,
+       CAST(sum(CASE WHEN pa0 > pb THEN 1 ELSE 0 END
+              + CASE WHEN pa1 > pb THEN 1 ELSE 0 END) AS BIGINT) AS sum_d,
+       CAST(sum(abs(pa0 - pb) + abs(pa1 - pb)) AS BIGINT) AS sum_e,
+       CAST(sum(CASE WHEN in_a THEN (pa0 * 2 + 1) + (pa1 * 2 + 1) END) AS BIGINT) AS sum_s
+FROM px GROUP BY x, y
+"""
+
+
+@query("tile_algebra", _TILE_ALGEBRA_ORACLE)
+def tile_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-algebra pipeline with geoproc parity semantics: A(2-band) +
+    B(1-band, partial overlap), comparison, abs-chain, scalar ops — per-tile
+    BIGINT checksums. Exercises outer-join bounds union, np.maximum mask
+    union, float64 0/1 comparisons, and 1-band broadcast in one query."""
+    from .image import Image
+
+    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    b = Image.from_df(synth.tiles_df(spark, "B"), synth.TILE_BANDS["B"], synth.TILE_PX)
+    c = a + b
+    d = a > b
+    e = abs(a - b)
+    s = a * 2 + 1
+
+    def sums(img, data_alias, with_mask=None):
+        cols = [
+            "z",
+            "x",
+            "y",
+            _sum_px(F.col("data"), img.n_bands).alias(data_alias),
+        ]
+        if with_mask:
+            cols.append(_mask_sum(F.col("mask")).alias(with_mask))
+        return img.df.select(*cols)
+
+    out = (
+        sums(c, "sum_c", with_mask="mask_c")
+        .join(sums(d, "sum_d"), ["z", "x", "y"])
+        .join(sums(e, "sum_e"), ["z", "x", "y"])
+        .join(sums(s, "sum_s"), ["z", "x", "y"], "left_outer")
+    )
+    return out
+
+
 # ------------------------------------------------------------------- flagship
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages-per-polygon-feature counts — the §7 minimum end-to-end slice:

@@ -197,6 +197,69 @@ def knn_queries_values_sql() -> str:
     return f"SELECT * FROM (VALUES {rows}) AS knnv(qid, qlat_s, qlon_s, k)"
 
 
+# --------------------------------------------------------------- tile fixtures
+# Synthetic "rasters" as tile rows (FIXTURES.md T5): 16x16-px tiles at z=3,
+# image A = 2 bands over x 0..3, image B = 1 band over x 2..5 (partial
+# overlap exercises the outer-join bounds-union + mask-union semantics of
+# /root/reference/geoproc/server/image.py:300,303-305). Pixel values and
+# masks are closed-form in (x, y, band, i) so the DuckDB oracle recomputes
+# them exactly.
+
+TILE_Z = 3
+TILE_PX = 256  # 16 x 16
+TILE_XRANGE = {"A": (0, 3), "B": (2, 5)}
+TILE_BANDS = {"A": 2, "B": 1}
+TILE_SALT = {"A": 1, "B": 3}  # band k of A uses salt 1+k; B uses 3
+
+
+def tile_pixel_sql(x: str, y: str, i: str, salt: int) -> str:
+    return f"((({x} * 16 + {y}) * 256 + {i} * 7 + {salt}) % 97)"
+
+
+def tile_mask_sql(x: str, y: str, i: str) -> str:
+    return f"(CASE WHEN ({i} + {x} + {y}) % 11 = 0 THEN 0 ELSE 255 END)"
+
+
+def tiles_df(spark: SparkSession, img: str) -> DataFrame:
+    """Engine-side tile fixture — arrays built with JVM sequence/transform
+    (no Python in the pixel path)."""
+    x0, x1 = TILE_XRANGE[img]
+    keys = [(TILE_Z, x, y) for x in range(x0, x1 + 1) for y in range(4)]
+    kdf = spark.createDataFrame(keys, "z int, x int, y int")
+    bands = ", ".join(
+        f"transform(sequence(0, {TILE_PX - 1}), "
+        f"i -> CAST({tile_pixel_sql('x', 'y', 'i', TILE_SALT[img] + k)} AS DOUBLE))"
+        for k in range(TILE_BANDS[img])
+    )
+    return kdf.selectExpr(
+        "z",
+        "x",
+        "y",
+        f"array({bands}) AS data",
+        f"transform(sequence(0, {TILE_PX - 1}), i -> CAST({tile_mask_sql('x', 'y', 'i')} AS INT)) AS mask",
+    )
+
+
+def tile_pixels_np(img: str):
+    """Numpy oracle twin of tiles_df: {(z,x,y): (data[bands,px], mask[px])}."""
+    import numpy as np
+
+    x0, x1 = TILE_XRANGE[img]
+    out = {}
+    i = np.arange(TILE_PX, dtype=np.int64)
+    for x in range(x0, x1 + 1):
+        for y in range(4):
+            data = np.stack(
+                [
+                    ((x * 16 + y) * 256 + i * 7 + TILE_SALT[img] + k) % 97
+                    for k in range(TILE_BANDS[img])
+                ]
+            ).astype(np.float64)
+            mask = np.where((i + x + y) % 11 == 0, 0, 255).astype(np.int64)
+            out[(TILE_Z, x, y)] = (data, mask)
+    return out
+
+
 TABLES = [
     "region",
     "nation",

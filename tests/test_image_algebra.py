@@ -1,0 +1,143 @@
+"""Kernel golden tests: the distributed Image pipeline vs the single-process
+numpy oracle, block-for-block (FIXTURES.md T5, SURVEY.md §5.2)."""
+
+import operator
+
+import numpy as np
+import pytest
+
+from geoproc_spark import synth
+from geoproc_spark.image import Image
+from geoproc_spark.oracle import numpy_oracle as O
+
+
+def _collect(img: Image):
+    out = {}
+    for r in img.df.collect():
+        out[(r["z"], r["x"], r["y"])] = (
+            np.array([list(b) for b in r["data"]], dtype=np.float64),
+            np.array(list(r["mask"]), dtype=np.int64),
+        )
+    return out
+
+
+def _assert_tiles_equal(got, want):
+    assert sorted(got) == sorted(want)
+    for k in want:
+        gd, gm = got[k]
+        wd, wm = want[k]
+        np.testing.assert_array_equal(gm, wm, err_msg=f"mask {k}")
+        np.testing.assert_array_equal(gd, wd, err_msg=f"data {k}")
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    b = Image.from_df(synth.tiles_df(spark, "B"), synth.TILE_BANDS["B"], synth.TILE_PX)
+    return a, b, synth.tile_pixels_np("A"), synth.tile_pixels_np("B")
+
+
+def test_fixture_matches_numpy_twin(imgs):
+    a, b, na, nb = imgs
+    _assert_tiles_equal(_collect(a), na)
+    _assert_tiles_equal(_collect(b), nb)
+
+
+BINOPS = [
+    ("add", operator.add),
+    ("sub", operator.sub),
+    ("mul", operator.mul),
+    ("truediv", operator.truediv),
+    ("floordiv", operator.floordiv),
+    ("lt", operator.lt),
+    ("ge", operator.ge),
+    ("eq", operator.eq),
+    ("ne", operator.ne),
+]
+
+
+@pytest.mark.parametrize("name,op", BINOPS)
+def test_binary_image_image(imgs, name, op):
+    """2-band x 1-band with partial tile overlap: bounds-union, mask-union,
+    float64 promotion, broadcast — all at once."""
+    a, b, na, nb = imgs
+    got = _collect(op(a, b))
+    want = O.binary(op, na, nb, 2, 1, synth.TILE_PX)
+    _assert_tiles_equal(got, want)
+
+
+@pytest.mark.parametrize("scalar,reverse", [(3.0, False), (2.0, True), (0.0, False)])
+def test_scalar_ops(imgs, scalar, reverse):
+    a, _, na, _ = imgs
+    if reverse:
+        got = _collect(scalar - a)
+        want = O.scalar_op(operator.sub, na, scalar, reverse=True)
+    else:
+        got = _collect(a * scalar)
+        want = O.scalar_op(operator.mul, na, scalar)
+    _assert_tiles_equal(got, want)
+
+
+def test_division_by_zero_parity(imgs):
+    """B - B has zeros; A / (B - B) must give numpy's inf/nan, not errors."""
+    a, b, na, nb = imgs
+    zero = b - b
+    got = _collect(a / zero)
+    zn = O.binary(operator.sub, nb, nb, 1, 1, synth.TILE_PX)
+    want = O.binary(operator.truediv, na, zn, 2, 1, synth.TILE_PX)
+    _assert_tiles_equal(got, want)
+
+
+def test_abs_and_chain(imgs):
+    a, b, na, nb = imgs
+    got = _collect(abs(a - b * 2.0))
+    want = O.abs_(O.binary(operator.sub, na, O.scalar_op(operator.mul, nb, 2.0), 2, 1, synth.TILE_PX))
+    _assert_tiles_equal(got, want)
+
+
+def test_select_bands(imgs):
+    a, _, na, _ = imgs
+    sel = a.select(["B2"])
+    assert sel.band_names == ["B2"]
+    got = _collect(sel)
+    want = {k: (d[1:2], m) for k, (d, m) in na.items()}
+    _assert_tiles_equal(got, want)
+    with pytest.raises(ValueError):
+        a.select(["B9"])
+
+
+def test_rescale_opacity(imgs):
+    a, _, na, _ = imgs
+    got = _collect(a.rescale((0.0, 96.0)).with_opacity(0.4))
+    want = O.opacity(O.rescale(na, [(0.0, 96.0), (0.0, 96.0)]), 0.4)
+    _assert_tiles_equal(got, want)
+
+
+def test_comparison_is_float64_zero_one(imgs):
+    a, b, *_ = imgs
+    got = _collect(a > b)
+    vals = np.unique(np.concatenate([d.ravel() for d, _ in got.values()]))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+
+
+def test_statistics(spark, imgs):
+    a, _, na, _ = imgs
+    rows = a.statistics().collect()
+    by_key = {(r["z"], r["x"], r["y"], r["band_idx"]): r for r in rows}
+    for k, (d, m) in na.items():
+        for band in range(2):
+            r = by_key[(*k, band)]
+            valid = d[band][m == 255]
+            assert r["n_valid"] == len(valid)
+            assert r["sum"] == valid.sum()
+            assert r["min"] == valid.min() and r["max"] == valid.max()
+
+
+def test_export_roundtrip(spark, imgs, tmp_path):
+    a, b, na, nb = imgs
+    c = a + b
+    path = str(tmp_path / "tiles_out")
+    c.export(path)
+    back = Image.load(spark, path)
+    assert back.n_px == synth.TILE_PX
+    _assert_tiles_equal(_collect(back), O.binary(operator.add, na, nb, 2, 1, synth.TILE_PX))
