@@ -1,0 +1,86 @@
+"""Text-analysis primitives for the training-data pipeline — all JVM-side.
+
+Tokenization, portable token hashing, k-gram shingles, quality metrics,
+language id, and winnowing fingerprints. Everything is expressed with
+built-in pyspark.sql.functions (codegen'd, no Python), and every hash is
+*portable*: Spark's md5 == DuckDB's md5, so the DuckDB oracle recomputes
+identical values.
+
+Pinned token spec: tokens = split on single space (the corpus is already
+space-normalized); token hash = first 15 hex digits of md5, as a 60-bit
+BIGINT; 32-bit-reduced variant h32 = h % 4294967291 for modular MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+H32_P = 4294967291  # largest prime < 2^32
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 60-bit token hash (Spark conv == DuckDB hex-cast)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def token_hash_sql(expr: str) -> str:
+    """DuckDB twin of token_hash."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def h32(tok: Column) -> Column:
+    return token_hash(tok) % F.lit(H32_P)
+
+
+def shingles_sql_spark(arr: str, k: int = 3, distinct: bool = True) -> str:
+    """Spark-SQL expression: k-gram shingles of a token array (in order;
+    optionally deduplicated into a set)."""
+    parts = ", ".join(f"element_at({arr}, i + {j})" for j in range(k))
+    body = (
+        f"transform(sequence(1, size({arr}) - {k - 1}), i -> concat_ws(' ', {parts}))"
+    )
+    if distinct:
+        body = f"array_distinct({body})"
+    return f"CASE WHEN size({arr}) >= {k} THEN {body} ELSE array() END"
+
+
+def shingles_sql_duckdb(arr: str, k: int = 3, distinct: bool = True) -> str:
+    """DuckDB twin of shingles_sql_spark (1-indexed lists in both)."""
+    parts = " || ' ' || ".join(f"{arr}[i + {j}]" for j in range(k))
+    body = (
+        f"list_transform(generate_series(1, len({arr}) - {k - 1}), i -> {parts})"
+    )
+    if distinct:
+        body = f"list_distinct({body})"
+    return f"CASE WHEN len({arr}) >= {k} THEN {body} ELSE [] END"
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Integer-exact per-doc quality signals (hash-safe for the oracle)."""
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return {
+        "n_chars": F.length(text).cast("bigint"),
+        "n_tokens": F.size(toks).cast("bigint"),
+        "n_uniq": F.size(F.array_distinct(toks)).cast("bigint"),
+        "n_stop": F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "bigint"
+        ),
+        "max_token_len": F.array_max(F.transform(toks, F.length)).cast("bigint"),
+    }
+
+
+def lang_pred(n_stop: Column, n_tokens: Column) -> Column:
+    """Heuristic language id: >= 5% pinned-stopword mass -> 'en'.
+
+    (The corpus vocabulary is English; real n-gram language id would ship a
+    profile table — the operator shape, a per-doc scoring expression, is
+    what matters at scale.)"""
+    return F.when(n_stop * 20 >= n_tokens, F.lit("en")).otherwise(F.lit("und"))

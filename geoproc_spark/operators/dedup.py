@@ -1,0 +1,159 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash signatures, and n-gram Jaccard — all pure DataFrame ops over
+portable md5-derived hashes, so a SQL oracle reproduces them bit-for-bit.
+
+Scale notes:
+- exact dedup: one hash aggregate on md5(text) — map-side partial combine,
+  no driver involvement.
+- MinHash: explode(tokens) x broadcast(perm table) -> groupBy(doc, pid) min.
+  The explode is the dominant shuffle; at 10^12 docs it is bounded by
+  repartitioning on doc_id first and AQE-coalescing the aggregate.
+- LSH bucket join: self-equi-join on (band_id, band_key); hot buckets (boiler-
+  plate text) are exactly the skew case — AQE skew-join splits them, and the
+  pair output is capped per bucket upstream in a real pipeline.
+- SimHash: explode(tokens) x 60 bit positions; the bit table is a broadcast
+  literal; two hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, min_doc, max_doc)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, h32) for each DISTINCT k-gram shingle of each doc.
+
+    Shingles, not tokens: with a small vocabulary token sets of unrelated
+    docs overlap heavily and MinHash degenerates; the k-gram space is
+    |V|^k so random docs share almost nothing."""
+    sh = docs.selectExpr(
+        "doc_id", TX.shingles_sql_spark("split(text, ' ')", k) + " AS sh"
+    )
+    return sh.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", TX.h32(F.col("g")).alias("h32")
+    )
+
+
+def minhash_signatures(docs: DataFrame, perms: list[tuple[int, int, int]]) -> DataFrame:
+    """(doc_id, pid, mh): mh = min over shingles of (a*h32 + b) % P."""
+    spark = docs.sparkSession
+    perm_df = spark.createDataFrame(perms, "pid int, a long, b long")
+    th = doc_shingle_hashes(docs)
+    return (
+        th.join(F.broadcast(perm_df))
+        .select(
+            "doc_id",
+            "pid",
+            ((F.col("a") * F.col("h32") + F.col("b")) % F.lit(TX.H32_P)).alias("ph"),
+        )
+        .groupBy("doc_id", "pid")
+        .agg(F.min("ph").alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band_id, band_key): band_key is the ordered concat of the
+    band's minhash values — the LSH bucket id."""
+    return (
+        signatures.withColumn("band_id", (F.col("pid") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pid", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, perms: list[tuple[int, int, int]], rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >= 1 band."""
+    bands = lsh_bands(minhash_signatures(docs, perms), rows_per_band)
+    b1 = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (
+        b1.join(b2, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
+    """(doc_id, simhash): bit j set iff sum over distinct 3-gram shingles of
+    (bit_j(h) ? +1 : -1) is positive. 60 bits (the portable hash width)."""
+    spark = docs.sparkSession
+    bits = spark.createDataFrame([(b,) for b in range(n_bits)], "bit int")
+    sh = docs.selectExpr(
+        "doc_id", TX.shingles_sql_spark("split(text, ' ')", 3) + " AS sh"
+    )
+    th = sh.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", TX.token_hash(F.col("g")).alias("h")
+    )
+    per_bit = (
+        th.join(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
+            .otherwise(-1)
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs:
+    (doc_a, doc_b, n_inter, n_union) — integer-exact, ratio left to the
+    caller (n_inter/n_union)."""
+    sh = docs.selectExpr(
+        "doc_id", TX.shingles_sql_spark("split(text, ' ')", k) + " AS sh"
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        n_inter.alias("n_inter"),
+        (F.size("sh_a") + F.size("sh_b") - n_inter).cast("bigint").alias("n_union"),
+    )

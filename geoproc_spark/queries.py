@@ -260,6 +260,452 @@ def tile_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ===================================================== training-data pipeline
+from .functions import text as TX  # noqa: E402
+from .operators import dedup as dd  # noqa: E402
+from .operators import similarity as sim  # noqa: E402
+
+_TOKH = TX.token_hash_sql("g")
+_SHINGLES_DUCK = TX.shingles_sql_duckdb("string_split(text, ' ')")
+
+
+@query(
+    "dedup_exact",
+    f"""
+WITH docs AS ({synth.DOCS_DUP_SQL})
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM docs GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash aggregate on md5(text) (map-side combine)."""
+    return dd.exact_dup_groups(synth.docs_dup_df(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+WITH docs AS ({synth.DOCS_DUP_SQL}),
+sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS g FROM docs),
+h AS (SELECT doc_id, {_TOKH} % {synth.MINHASH_P} AS h32 FROM sh),
+perms AS ({synth.minhash_perms_values_sql()}),
+mh AS (SELECT doc_id, pid, min((a * h32 + b) % {synth.MINHASH_P}) AS mh
+       FROM h CROSS JOIN perms GROUP BY doc_id, pid),
+bands AS (SELECT doc_id, pid // 4 AS band_id,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pid) AS band_key
+          FROM mh GROUP BY doc_id, pid // 4)
+SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM bands b1 JOIN bands b2
+  ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+     AND b1.doc_id < b2.doc_id
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands x 4 rows) candidate pairs."""
+    docs = synth.docs_dup_df(spark, sf_dir)
+    return dd.lsh_candidate_pairs(docs, synth.minhash_perms(), rows_per_band=4)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+WITH docs AS ({synth.DOCS_DUP_SQL}),
+sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS g FROM docs),
+h AS (SELECT doc_id, {_TOKH} AS h FROM sh),
+sb AS (SELECT doc_id, bits.i AS bit,
+              sum(CASE WHEN (h >> bits.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       FROM h CROSS JOIN range(60) bits(i) GROUP BY doc_id, bits.i)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM sb GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures over distinct-token sets."""
+    return dd.simhash(synth.docs_dup_df(spark, sf_dir))
+
+
+@query(
+    "ngram_jaccard",
+    f"""
+WITH docs AS ({synth.DOCS_DUP_SQL}),
+sh AS (SELECT doc_id, {TX.shingles_sql_duckdb("string_split(text, ' ')")} AS sh FROM docs),
+pairs AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+          FROM documents WHERE doc_id % 5 = 0)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b
+""",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard for the planted near-dup pairs
+    (integer intersection/union counts — the ratio is the caller's)."""
+    docs = synth.docs_dup_df(spark, sf_dir)
+    pairs = docs.filter("doc_id < 1000000 AND doc_id % 5 = 0").select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    return dd.ngram_jaccard(docs, pairs)
+
+
+@query(
+    "text_quality",
+    """
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS arr FROM documents)
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(arr) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(arr)) AS BIGINT) AS n_uniq,
+       CAST(len(list_filter(arr, t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS n_stop,
+       CAST(list_max(list_transform(arr, t -> length(t))) AS BIGINT) AS max_token_len,
+       CASE WHEN len(list_filter(arr, t -> list_contains(['the','a','of','and','to'], t))) * 20
+                 >= len(arr) THEN 'en' ELSE 'und' END AS lang_pred
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals + heuristic language id (all JVM exprs)."""
+    synth.load_tables(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    m = TX.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_uniq"].alias("n_uniq"),
+        m["n_stop"].alias("n_stop"),
+        m["max_token_len"].alias("max_token_len"),
+        TX.lang_pred(m["n_stop"], m["n_tokens"]).alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+swp AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(arr) - 2),
+                      i -> {{'pos': i, 'g': arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]}})) AS s
+        FROM t),
+hp AS (SELECT doc_id, s.pos AS pos,
+              {TX.token_hash_sql("s.g")} % {synth.MINHASH_P} AS h FROM swp),
+w AS (SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hp)
+SELECT DISTINCT doc_id, fp FROM w
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: 3-gram hash, window-4 minima, distinct.
+    (Rolling-hash document fingerprinting; window minima make the selection
+    position-stable so near-identical docs share most fingerprints.)"""
+    from pyspark.sql import Window
+
+    synth.load_tables(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    sh = docs.selectExpr(
+        "doc_id",
+        "posexplode(" + TX.shingles_sql_spark("split(text, ' ')", distinct=False) + ") AS (pos0, g)",
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), (TX.token_hash(F.col("g")) % synth.MINHASH_P).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+@query(
+    "embedding_neardup",
+    f"""
+WITH corpus AS ({synth.EMB_DUP_DUCKDB_SQL}),
+a AS (SELECT vec_id AS vec_a, embedding AS emb_a FROM corpus),
+b AS (SELECT vec_id AS vec_b, embedding AS emb_b FROM corpus)
+SELECT vec_a, vec_b FROM a JOIN b ON vec_a < vec_b
+WHERE list_cosine_similarity(emb_a, emb_b) > 0.95
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.95) over the corpus with
+    planted scale-perturbed duplicates."""
+    return sim.embedding_near_dups(synth.emb_dup_df(spark, sf_dir), threshold=0.95)
+
+
+@query(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding AS emb_q FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.emb_q, e.embedding) AS cos
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+r AS (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM s)
+SELECT qid, vec_id, rank FROM r WHERE rank <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 (broadcast queries, JVM dot products)
+    — the ANN correctness baseline; the LSH path is recall-tested in pytest."""
+    synth.load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    return sim.cosine_topk(emb.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding"), emb, k=5)
+
+
+# ============================================== relational / windowed analytics
+# Classic warehouse shapes over the TPC-H-ish tables: aggregation pushdown,
+# multi-way joins (Catalyst picks broadcast for the dims), window functions,
+# sessionization. Money stays in integer cents (floor(x*100 + 0.5) — exact
+# and identical in both engines; double sums are not associativity-safe).
+
+_CENTS = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_DISC = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+_TAX = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+_QTY = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+
+
+@query(
+    "tpch_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_QTY}) AS BIGINT) AS sum_qty,
+       CAST(sum({_CENTS}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_CENTS} * (100 - {_DISC})) AS BIGINT) AS sum_disc_cents,
+       CAST(sum({_CENTS} * (100 - {_DISC}) * (100 + {_TAX})) AS BIGINT) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): scan-side filter pushdown + partial
+    hash aggregate; exact integer-cent arithmetic."""
+    synth.load_tables(spark, sf_dir, ["lineitem"])
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    tax = F.floor(F.col("l_tax") * 100 + 0.5).cast("bigint")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("bigint")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_cents"),
+        F.sum(cents * (100 - disc)).alias("sum_disc_cents"),
+        F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3",
+    f"""
+SELECT o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(sum({_CENTS} * (100 - {_DISC})) AS BIGINT) AS revenue_cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem ON l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3 shape): 3-way join (dim side broadcast by
+    Catalyst/AQE) + top-10 with a deterministic tie-break."""
+    synth.load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = spark.table("lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(cents * (100 - disc)).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    f"""
+SELECT n.n_name AS n_name,
+       CAST(sum({_CENTS} * (100 - {_DISC})) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-way star join — region/
+    nation/supplier broadcast, fact-side shuffle only on orderkey."""
+    synth.load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    c, o, li = spark.table("customer"), spark.table("orders"), spark.table("lineitem")
+    s, n, r = spark.table("supplier"), spark.table("nation"), spark.table("region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(F.sum(cents * (100 - disc)).alias("revenue_cents"))
+    )
+
+
+@query(
+    "tpch_q6",
+    f"""
+SELECT CAST(sum({_CENTS} * {_DISC}) AS BIGINT) AS revenue_cents_x100
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND floor(l_discount * 100 + 0.5) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue (TPC-H Q6 shape): pure scan+filter+sum — every
+    predicate pushes to the parquet reader."""
+    synth.load_tables(spark, sf_dir, ["lineitem"])
+    li = spark.table("lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents * disc).alias("revenue_cents_x100"))
+    )
+
+
+@query(
+    "events_hourly",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate — the batch twin of the
+    Structured-Streaming windowed agg (same F.window applies on readStream)."""
+    synth.load_tables(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_cents", "n_users")
+    )
+
+
+@query(
+    "events_sessions",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap): lag + running sum + aggregate — the gap
+    pattern behind session_window in Structured Streaming."""
+    from pyspark.sql import Window
+
+    synth.load_tables(spark, sf_dir, ["events"])
+    ev = spark.table("events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            # microsecond precision, same strictness as the interval compare
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1_800_000_000,
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+@query(
+    "events_top3_per_user",
+    """
+WITH r AS (
+  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC, event_id) AS INT) AS rnk
+  FROM events
+)
+SELECT user_id, event_id, value_cents, rnk FROM r WHERE rnk <= 3
+""",
+)
+def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank window function: top-3 events per user by value, deterministic
+    tie-break on event_id."""
+    from pyspark.sql import Window
+
+    synth.load_tables(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("value_cents"),
+            "rnk",
+        )
+    )
+
+
 # ------------------------------------------------------------------- flagship
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages-per-polygon-feature counts — the §7 minimum end-to-end slice:

@@ -260,6 +260,71 @@ def tile_pixels_np(img: str):
     return out
 
 
+# ------------------------------------------------------- dedup/text fixtures
+# The raw `documents` rows are all distinct, so dedup operators would return
+# empty results (which prove nothing). This shared-dialect corpus plants
+# deterministic near-duplicates (suffix-mutated, doc_id % 5) and exact
+# duplicates (doc_id % 7) on top of the originals.
+DOCS_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       concat(text, ' appended near duplicate suffix') AS text
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+""".strip()
+
+MINHASH_P = 4294967291  # largest prime < 2^32: a*h + b stays inside int64
+
+
+def minhash_perms(n: int = 16) -> list[tuple[int, int, int]]:
+    """Fixed seeded (pid, a, b) permutation parameters, shared verbatim with
+    the oracle SQL (single source of truth)."""
+    import random
+
+    rng = random.Random(42)
+    return [
+        (j, rng.randrange(1, 2**31) | 1, rng.randrange(0, 2**31)) for j in range(n)
+    ]
+
+
+def minhash_perms_values_sql() -> str:
+    rows = ", ".join(f"({p}, {a}, {b})" for p, a, b in minhash_perms())
+    return f"SELECT * FROM (VALUES {rows}) AS permv(pid, a, b)"
+
+
+def docs_dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(DOCS_DUP_SQL)
+
+
+# Embedding corpus with planted near-duplicates: scale-perturbed copies have
+# cosine == 1 up to fp rounding (cosine is scale-invariant) — far above any
+# random-pair similarity, so threshold decisions agree across engines.
+# transform/list_transform differ by name -> one string per dialect.
+EMB_DUP_SPARK_SQL = """
+SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS embedding
+FROM embeddings WHERE vec_id % 5 = 0
+""".strip()
+
+EMB_DUP_DUCKDB_SQL = """
+SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_transform(embedding, x -> x::DOUBLE * 1.01) AS embedding
+FROM embeddings WHERE vec_id % 5 = 0
+""".strip()
+
+
+def emb_dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["embeddings"])
+    return spark.sql(EMB_DUP_SPARK_SQL)
+
+
 TABLES = [
     "region",
     "nation",
