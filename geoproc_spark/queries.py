@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +77,23 @@ def geo_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         yt.alias("yt"),
         cells.cell_id_col(F.col("lat"), F.col("lon"), EXTRACT_ZOOM).alias("cell"),
     )
+
+
+# ------------------------------------------------------------- geo_s2_cells
+@query("geo_s2_cells")  # no oracle: Hilbert bit-twiddling isn't SQL-expressible
+def geo_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cell encoding (numpy Hilbert, Arrow-batched) — the alternative
+    index/partition key; invariants are property-tested in test_s2_streaming."""
+    from pyspark.sql import types as T
+
+    from .functions import s2
+
+    @F.pandas_udf(T.LongType())
+    def s2_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(s2.cell_id(lat.to_numpy(), lon.to_numpy(), level=12))
+
+    pts = _pages_with_coords(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return pts.select("page_id", s2_cell("lat", "lon").alias("s2_cell_l12"))
 
 
 # ---------------------------------------------------------------- geo_pip_join

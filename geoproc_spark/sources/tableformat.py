@@ -1,0 +1,125 @@
+"""Iceberg-style table layout: partitioned parquet + snapshot/manifest JSON.
+
+No Iceberg runtime jar is installable in this sandbox (offline), so this is
+a thin, honest stand-in with the metadata features the engine needs —
+snapshot ids, schema, partition spec, per-file row counts, and time-travel
+by snapshot — behind a two-function API (`write_table`/`read_table`) that a
+real `spark.read.format("iceberg")` catalog can replace verbatim. The
+analog of the reference's Redis map registry
+(/root/reference/geoproc/server/app.py:22,30-52): durable named state
+keyed by id, readable without recomputation.
+
+Layout:
+    <path>/data/...              parquet (optionally partitioned)
+    <path>/metadata/snap-<n>.json   {schema, partition_spec, files[], summary}
+    <path>/metadata/version-hint.text   latest snapshot number
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _list_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def current_snapshot_id(path: str) -> int | None:
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as fh:
+        return int(fh.read().strip())
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    summary: dict[str, Any] | None = None,
+) -> dict:
+    """Write a snapshot; returns the manifest dict.
+
+    Per-file row counts come from the parquet footers (no extra Spark job) —
+    they are the per-partition lineage the pipeline layer records.
+    """
+    data = _data_dir(path)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data)
+
+    files = []
+    for f in _list_parquet(data):
+        files.append(
+            {
+                "path": os.path.relpath(f, path),
+                "rows": pq.ParquetFile(f).metadata.num_rows,
+                "bytes": os.path.getsize(f),
+            }
+        )
+    prev = current_snapshot_id(path)
+    snap_id = (prev or 0) + 1
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": prev,
+        "created_ms": int(time.time() * 1000),
+        "schema": df.schema.jsonValue(),
+        "partition_spec": partition_by or [],
+        "files": files,
+        "total_rows": sum(f["rows"] for f in files),
+        "summary": summary or {},
+    }
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    with open(os.path.join(_meta_dir(path), f"snap-{snap_id}.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as fh:
+        fh.write(str(snap_id))
+    return manifest
+
+
+def read_manifest(path: str, snapshot: int | None = None) -> dict | None:
+    snap_id = snapshot if snapshot is not None else current_snapshot_id(path)
+    if snap_id is None:
+        return None
+    f = os.path.join(_meta_dir(path), f"snap-{snap_id}.json")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def read_table(spark: SparkSession, path: str, snapshot: int | None = None) -> DataFrame:
+    """Read a snapshot. With `snapshot`, reads exactly that snapshot's file
+    list (time travel); otherwise the current data directory."""
+    m = read_manifest(path, snapshot)
+    if m is None:
+        raise FileNotFoundError(f"no snapshot metadata under {path}")
+    if snapshot is None:
+        return spark.read.parquet(_data_dir(path))
+    files = [os.path.join(path, f["path"]) for f in m["files"]]
+    return spark.read.parquet(*files)
+
+
+def table_exists(path: str) -> bool:
+    return current_snapshot_id(path) is not None

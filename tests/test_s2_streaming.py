@@ -1,0 +1,90 @@
+"""S2-style cell invariants (property tests) + batch/stream equality."""
+
+import numpy as np
+
+from geoproc_spark.functions import s2
+
+RNG = np.random.default_rng(123)
+N = 5000
+LATS = RNG.uniform(-89.9, 89.9, N)
+LNGS = RNG.uniform(-180.0, 180.0, N)
+
+
+def test_hilbert_bijective():
+    order = 12
+    n = 1 << order
+    i = RNG.integers(0, n, 20000)
+    j = RNG.integers(0, n, 20000)
+    d = s2.hilbert_pos(i, j, order)
+    ii, jj = s2.hilbert_xy(d, order)
+    assert (ii == i).all() and (jj == j).all()
+    # full small-grid check: every position hit exactly once
+    gi, gj = np.meshgrid(np.arange(16), np.arange(16))
+    dd = s2.hilbert_pos(gi.ravel(), gj.ravel(), 4)
+    assert sorted(dd.tolist()) == list(range(256))
+
+
+def test_hilbert_locality():
+    """Consecutive curve positions are adjacent grid cells (the defining
+    Hilbert property — what makes id-ranges spatially compact)."""
+    order = 8
+    d = np.arange((1 << (2 * order)) - 1)
+    x, y = s2.hilbert_xy(d, order)
+    x2, y2 = s2.hilbert_xy(d + 1, order)
+    step = np.abs(x2 - x) + np.abs(y2 - y)
+    assert (step == 1).all()
+
+
+def test_cell_id_deterministic_and_distinct():
+    c1 = s2.cell_id(LATS, LNGS)
+    c2 = s2.cell_id(LATS, LNGS)
+    assert (c1 == c2).all()
+    # leaf marker bit set, face in range
+    assert (c1 & 1).all()
+    assert ((c1 >> s2.FACE_SHIFT) < 6).all() and (c1 > 0).all()
+    # 30-level leaves over random points: collisions ~ impossible
+    assert len(np.unique(c1)) == N
+
+
+def test_parent_nesting_and_containment():
+    leaf = s2.cell_id(LATS, LNGS)
+    for level in (5, 10, 20):
+        p = s2.parent(leaf, level)
+        assert (s2.cell_level(p) == level).all()
+        assert s2.contains(p, leaf).all()
+        # grandparent contains parent
+        gp = s2.parent(leaf, level - 3)
+        assert s2.contains(gp, p).all()
+    # distinct branches are disjoint: ranges of distinct level-10 cells
+    p10 = np.unique(s2.parent(leaf, 10))
+    lo, hi = s2.range_min_max(p10)
+    order = np.argsort(lo)
+    assert (lo[order][1:] > hi[order][:-1]).all()
+
+
+def test_nearby_points_share_coarse_cell():
+    lat = np.full(100, 48.8566) + RNG.uniform(-0.001, 0.001, 100)
+    lng = np.full(100, 2.3522) + RNG.uniform(-0.001, 0.001, 100)
+    p = s2.parent(s2.cell_id(lat, lng), 10)
+    assert len(np.unique(p)) <= 4  # a ~10km cell: tight cluster spans few
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    import shutil
+
+    from geoproc_spark.streaming import windowed
+    from tests.conftest import SF_DIR
+
+    events_dir = str(tmp_path / "events_in")
+    import os
+
+    os.makedirs(events_dir)
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir)
+
+    got = windowed.run_hourly_stream(
+        spark, events_dir, str(tmp_path / "ckpt"), "hourly_stream_t"
+    )
+    want = windowed.hourly_agg(spark.read.parquet(events_dir))
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
