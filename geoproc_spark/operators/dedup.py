@@ -53,45 +53,48 @@ def doc_shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, perms: list[tuple[int, int, int]]) -> DataFrame:
-    """(doc_id, pid, mh): mh = min over shingles of (a*h32 + b) % P."""
-    spark = docs.sparkSession
-    perm_df = spark.createDataFrame(perms, "pid int, a long, b long")
+    """Wide signature row per doc: (doc_id, mh0..mh{n-1}).
+
+    One shuffle total: all n permutations are separate min-aggregates in a
+    single groupBy over the shingle hashes — NOT an explode x n_perms (that
+    multiplies the shuffle volume n-fold for no reason)."""
     th = doc_shingle_hashes(docs)
-    return (
-        th.join(F.broadcast(perm_df))
-        .select(
-            "doc_id",
-            "pid",
-            ((F.col("a") * F.col("h32") + F.col("b")) % F.lit(TX.H32_P)).alias("ph"),
-        )
-        .groupBy("doc_id", "pid")
-        .agg(F.min("ph").alias("mh"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(TX.H32_P)).alias(f"mh{p}")
+        for p, a, b in perms
+    ]
+    return th.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+def lsh_bands(
+    signatures: DataFrame, n_perms: int, rows_per_band: int = 4
+) -> DataFrame:
     """(doc_id, band_id, band_key): band_key is the ordered concat of the
-    band's minhash values — the LSH bucket id."""
-    return (
-        signatures.withColumn("band_id", (F.col("pid") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pid", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
+    band's minhash values — pure column expressions + stack, no second
+    aggregate."""
+    n_bands = n_perms // rows_per_band
+    keys = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
         )
-    )
+        keys.append(f"{b}, concat_ws(',', {cols})")
+    stack = f"stack({n_bands}, {', '.join(keys)}) AS (band_id, band_key)"
+    return signatures.selectExpr("doc_id", stack)
 
 
 def lsh_candidate_pairs(
     docs: DataFrame, perms: list[tuple[int, int, int]], rows_per_band: int = 4
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >= 1 band."""
-    bands = lsh_bands(minhash_signatures(docs, perms), rows_per_band)
+    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >= 1 band.
+
+    The bands table is persisted before the self-join: without it Catalyst
+    re-executes the whole shingle->md5->minhash subtree once per join side
+    (and the pushed non-empty filter recomputes the shingle HOF again) —
+    profiled at ~4x the work. At warehouse scale this persist is a stage
+    boundary: signatures land in a table once, the pair join scans it.
+    """
+    bands = lsh_bands(minhash_signatures(docs, perms), len(perms), rows_per_band).persist()
     b1 = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
@@ -106,34 +109,31 @@ def lsh_candidate_pairs(
 
 def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
     """(doc_id, simhash): bit j set iff sum over distinct 3-gram shingles of
-    (bit_j(h) ? +1 : -1) is positive. 60 bits (the portable hash width)."""
-    spark = docs.sparkSession
-    bits = spark.createDataFrame([(b,) for b in range(n_bits)], "bit int")
+    (bit_j(h) ? +1 : -1) is positive. 60 bits (the portable hash width).
+
+    One shuffle: the 60 bit-counters are 60 conditional-sum aggregates in a
+    single groupBy — NOT an explode x 60 (which would shuffle 60x the rows).
+    """
     sh = docs.selectExpr(
         "doc_id", TX.shingles_sql_spark("split(text, ' ')", 3) + " AS sh"
     )
     th = sh.select("doc_id", F.explode("sh").alias("g")).select(
         "doc_id", TX.token_hash(F.col("g")).alias("h")
     )
-    per_bit = (
-        th.join(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
-            .otherwise(-1)
-            .alias("sign"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("sign").alias("s"))
-    )
-    return per_bit.groupBy("doc_id").agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    wide = th.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(n_bits):
+        t = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = t if sig is None else sig + t
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 def hamming_distance(a, b):

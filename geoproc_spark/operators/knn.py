@@ -109,9 +109,20 @@ def knn_join(
     ).persist()
 
     # Phase 1: ring expansion until every query holds >= k candidates.
+    # Initial radius from corpus density (uniform estimate, 3x safety):
+    # dense corpora start at radius 1; sparse ones skip straight to a ring
+    # that plausibly holds k candidates instead of doubling through empty
+    # rounds (each round is a full Spark job).
+    import math
+
+    n_pages = pages_c.count()
+    kmax = queries.agg(F.max("k")).first()[0] or 1
+    density = n_pages / float(4**zoom)
+    cells_needed = max(9.0, 3.0 * kmax / max(density, 1e-12))
+    radius = min(1 << zoom, max(1, math.ceil((math.sqrt(cells_needed) - 1) / 2)))
+
     unresolved = queries.select("qid", "qlat_s", "qlon_s", "k")
     bounds = None
-    radius = 1
     for _ in range(max_rounds):
         ring = _ring_cells_udf(zoom, radius)
         qcells = unresolved.withColumn(

@@ -1,52 +1,51 @@
 """Similarity search over embedding columns (ARRAY<FLOAT>).
 
-- `cosine_topk`: brute-force exact top-k — the correctness baseline. Dot
-  products are JVM folds (zip_with + aggregate in whole-stage codegen);
-  the query side is broadcast, so the scan side never shuffles.
-- `random_hyperplane_buckets` + `ann_topk_lsh`: the scale path — sign-LSH
-  bucketing with seeded deterministic hyperplanes; candidates come from the
-  query's bucket (plus optional multi-probe neighbors), exact re-rank inside
-  the bucket. Recall is validated against brute force in tests.
-- `embedding_near_dups`: all pairs above a cosine threshold, via bucket
-  join (brute-force variant for oracle checking).
+Design: every hot path is a *broadcast-GEMM* — the small side (queries /
+hyperplanes / the near-dup reference block) is collected to a numpy matrix,
+broadcast once, and each Arrow batch of the scan side does one
+`batch_matrix @ small_matrix.T` inside mapInPandas. BLAS beats per-element
+JVM folds by orders of magnitude, and the scan side never shuffles.
 
-Scale notes: brute force is O(N x Q) but embarrassingly parallel with zero
-shuffle (broadcast queries); LSH reduces the candidate set ~2^n_planes-fold;
-at 10^12 rows the bucket table is the thing you partition and persist —
-bucket id doubles as the storage partition key (same cell-prefix trick as
-the geo side).
+- `cosine_topk`: exact top-k. Per-batch partial top-k bounds the shuffle to
+  (q x k) rows per batch; a window rank finishes globally.
+- `random_hyperplane_buckets` + `ann_topk_lsh`: sign-LSH bucketing (seeded
+  deterministic planes) with optional hamming-1 multi-probe; exact re-rank
+  inside buckets. The scale path: bucket id doubles as partition key.
+- `embedding_near_dups`: all pairs above a cosine threshold. The reference
+  block here is the full corpus (fine to ~10^5 vectors); at larger scale
+  the same GEMM runs inside LSH buckets.
+
+Dot products for the *bucketing* stay deterministic across partitionings
+(fixed plane matrix, row-wise GEMM); top-k ranks are stable because random
+-embedding similarity gaps dwarf BLAS reduction-order noise.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _matrix(col: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
 
 
-def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") -> DataFrame:
-    cos = (_dot(F.col(a_col), F.col(b_col)) / (_norm(F.col(a_col)) * _norm(F.col(b_col)))).alias(
-        "cos"
-    )
-    return pairs.withColumn("cos", cos)
+def _collect_matrix(df: DataFrame, id_col: str, emb_col: str = "embedding"):
+    rows = df.select(id_col, emb_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, mat
 
 
 def cosine_topk(
@@ -56,22 +55,39 @@ def cosine_topk(
     qid_col: str = "qid",
     vid_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k neighbors: (qid, vec_id, rank). Self-matches excluded.
-    Ties broken by vec_id (deterministic)."""
-    q = queries.select(F.col(qid_col).alias("qid"), F.col("embedding").alias("emb_q"))
-    c = corpus.select(F.col(vid_col).alias("vec_id"), F.col("embedding").alias("emb_c"))
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            (_dot(F.col("emb_q"), F.col("emb_c")) / (_norm(F.col("emb_q")) * _norm(F.col("emb_c")))).alias("cos"),
-        )
+    """Exact top-k neighbors: (qid, vec_id, rank). Self-matches excluded,
+    ties broken by vec_id. Queries must be the small side (broadcast)."""
+    spark = corpus.sparkSession
+    qids, qmat = _collect_matrix(queries, qid_col)
+    bc = spark.sparkContext.broadcast((qids, _normalize(qmat)))
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q = bc.value
+        for pdf in batches:
+            c = _normalize(_matrix(pdf["embedding"]))
+            vids = pdf[vid_col].to_numpy(dtype=np.int64)
+            s = c @ q.T  # (batch, nq)
+            s[vids[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, s.shape[0])
+            top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, nq) partial
+            qi = np.repeat(q_ids[None, :], kk, axis=0).ravel()
+            vi = vids[top].ravel()
+            co = np.take_along_axis(s, top, axis=0).ravel()
+            keep = np.isfinite(co)
+            yield pd.DataFrame({"qid": qi[keep], "vec_id": vi[keep], "cos": co[keep]})
+
+    cand = corpus.mapInPandas(probe, schema)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "rank")
     )
@@ -85,14 +101,18 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
 def random_hyperplane_buckets(
     df: DataFrame, planes: np.ndarray, emb_col: str = "embedding"
 ) -> DataFrame:
-    """Add `bucket` = sign-LSH code (BIGINT). The planes fold into literal
-    arrays — the whole bucketing is a codegen'd JVM expression, no UDF."""
-    code = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        d = _dot(F.col(emb_col), lit_plane)
-        code = code + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return df.withColumn("bucket", code)
+    """Add `bucket` = sign-LSH code (BIGINT): one GEMM per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(planes, dtype=np.float64))
+    weights = (1 << np.arange(len(planes), dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def code(emb: pd.Series) -> pd.Series:
+        p = bc.value
+        signs = (_matrix(emb) @ p.T) > 0
+        return pd.Series(signs @ weights)
+
+    return df.withColumn("bucket", code(emb_col))
 
 
 def ann_topk_lsh(
@@ -106,8 +126,8 @@ def ann_topk_lsh(
     cosine re-rank within. (qid, vec_id, rank).
 
     multi_probe: additionally probe every bucket at hamming distance 1 from
-    the query's code (n_planes+1 buckets total) — standard multi-probe LSH,
-    trading candidate volume for recall without growing the bucket table."""
+    the query's code — standard multi-probe LSH, recall for candidate
+    volume without growing the bucket table."""
     qb = random_hyperplane_buckets(
         queries.select(F.col("qid"), F.col("embedding").alias("emb_q")), planes, "emb_q"
     )
@@ -126,11 +146,7 @@ def ann_topk_lsh(
     scored = (
         cb.join(qb, "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            (_dot(F.col("emb_q"), F.col("emb_c")) / (_norm(F.col("emb_q")) * _norm(F.col("emb_c")))).alias("cos"),
-        )
+        .select("qid", "vec_id", _cosine_cols("emb_q", "emb_c").alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -140,15 +156,42 @@ def ann_topk_lsh(
     )
 
 
+def _cosine_cols(a: str, b: str):
+    """Pairwise cosine as a pandas UDF over two embedding columns."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = _normalize(_matrix(ea))
+        mb = _normalize(_matrix(eb))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return cos(a, b)
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") -> DataFrame:
+    return pairs.withColumn("cos", _cosine_cols(a_col, b_col))
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All (vec_a < vec_b) pairs with cosine > threshold — brute-force
-    variant (oracle-checkable); the LSH-bucketed variant joins on `bucket`
-    first for the same output at scale."""
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    return (
-        with_cosine(pairs)
-        .filter(F.col("cos") > threshold)
-        .select("vec_a", "vec_b")
+    """All (vec_a < vec_b) pairs with cosine > threshold: broadcast the
+    corpus matrix, one GEMM per Arrow batch. For corpora beyond broadcast
+    size, run the same kernel per LSH bucket (random_hyperplane_buckets)."""
+    spark = corpus.sparkSession
+    ids, mat = _collect_matrix(corpus, "vec_id")
+    bc = spark.sparkContext.broadcast((ids, _normalize(mat)))
+
+    schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
     )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            c = _normalize(_matrix(pdf["embedding"]))
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            s = c @ all_mat.T
+            hit = (s > threshold) & (vids[:, None] < all_ids[None, :])
+            bi, ai = np.nonzero(hit)
+            yield pd.DataFrame({"vec_a": vids[bi], "vec_b": all_ids[ai]})
+
+    return corpus.mapInPandas(probe, schema)

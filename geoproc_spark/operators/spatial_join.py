@@ -62,17 +62,20 @@ def points_in_ring_np(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
 
 
 @F.pandas_udf(T.BooleanType())
-def _pip_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series) -> pd.Series:
-    """Arrow-batched PIP refine. Groups the batch by ring identity so each
-    distinct polygon is tested against its candidate points in one
-    vectorized pass (candidates for one polygon arrive clustered after the
-    cell join, so groups are large)."""
+def _pip_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series, fid: pd.Series) -> pd.Series:
+    """Arrow-batched PIP refine. Candidates are grouped by feature_id (an
+    int64 argsort — no per-row Python) and each distinct polygon is tested
+    against its candidate points in one vectorized ray-cast pass."""
     out = np.zeros(len(lon), dtype=bool)
     px = lon.to_numpy(dtype=np.float64)
     py = lat.to_numpy(dtype=np.float64)
-    keys = ring.map(lambda r: np.asarray(r, dtype=np.float64).tobytes())
-    for _, idx in pd.Series(range(len(ring))).groupby(keys.values):
-        ii = idx.to_numpy()
+    f = fid.to_numpy(dtype=np.int64)
+    order = np.argsort(f, kind="stable")
+    fs = f[order]
+    starts = np.flatnonzero(np.r_[True, fs[1:] != fs[:-1]])
+    bounds = np.r_[starts, len(fs)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        ii = order[a:b]
         r = np.asarray(ring.iloc[ii[0]], dtype=np.float64)
         out[ii] = points_in_ring_np(px[ii], py[ii], r)
     return pd.Series(out)
@@ -121,12 +124,19 @@ def spatial_join(
     salt_buckets: int | None = None,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    broadcast_poly: bool = True,
 ) -> DataFrame:
     """Covering-cell equi-join + exact PIP refine (the scale path).
 
     points: any DataFrame with (lat_col, lon_col) in degrees + id columns.
     Returns points' columns + feature_id, one row per (point, containing
     polygon). Rows with null coordinates are dropped (no geo -> no match).
+
+    broadcast_poly: the exploded polygon side goes through a pandas UDF, so
+    Catalyst has no size estimate and can pick the wrong build side (it
+    happily broadcast the *points* once in profiling). Polygon layers are
+    almost always the small side — hint it explicitly; pass False for
+    continent-scale layers, where the equi-join shuffles both sides on cell.
     """
     pts = points.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
     pts = pts.withColumn("_cell", cells.cell_id_col(F.col(lat_col), F.col(lon_col), zoom))
@@ -135,6 +145,9 @@ def spatial_join(
         with_covering_cells(poly, zoom)
         .select("feature_id", "ring", F.explode("covering_cells").alias("_cell"))
     )
+
+    if broadcast_poly:
+        poly_cells = F.broadcast(poly_cells)
 
     if salt_buckets and salt_buckets > 1:
         # Page side picks one salt; polygon side replicated over all salts.
@@ -146,7 +159,9 @@ def spatial_join(
     else:
         joined = pts.join(poly_cells, "_cell", "inner")
 
-    refined = joined.filter(_pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring")))
+    refined = joined.filter(
+        _pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring"), F.col("feature_id"))
+    )
     return refined.drop("_cell", "_salt", "ring")
 
 

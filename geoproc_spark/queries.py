@@ -468,6 +468,45 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding"), emb, k=5)
 
 
+@query(
+    "token_count_bpe",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split + a BPE-ish regex
+    (word-or-single-punct pieces) — both JVM-side."""
+    synth.load_tables(spark, sf_dir, ["documents"])
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query("multimodal_features")  # rows-only: binary codec plumbing isn't SQL
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary asset payloads (fake codec,
+    real Arrow plumbing) — numpy-oracle-tested in test_multimodal."""
+    from .operators import multimodal as mm
+
+    return mm.extract_features(mm.assets_df(spark, 200))
+
+
+@query("multimodal_frame_sample")  # rows-only (binary output column)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per kept frame, frame as image payload."""
+    from .operators import multimodal as mm
+
+    return mm.sample_frames(mm.assets_df(spark, 200), every_k=2)
+
+
 # ============================================== relational / windowed analytics
 # Classic warehouse shapes over the TPC-H-ish tables: aggregation pushdown,
 # multi-way joins (Catalyst picks broadcast for the dims), window functions,

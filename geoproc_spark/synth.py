@@ -78,6 +78,12 @@ def pages_sql(replicate: int = 1) -> str:
     lon_hot = _case_over_centers("hc", [c[2] for c in HOT_CENTERS])
     if replicate == 1:
         src = "SELECT doc_id AS page_id, lang, text AS doc_text FROM documents"
+    elif replicate == -1:
+        # Spark-only fast path: a pre-repartitioned `pages_src` view
+        # (see pages_df) so synthesis/extraction parallelize across all
+        # cores instead of inheriting the single-file partitioning of
+        # documents.parquet.
+        src = "SELECT page_id, lang, doc_text FROM pages_src"
     else:
         src = (
             f"SELECT doc_id * {replicate} + repl.i AS page_id, lang, "
@@ -349,9 +355,28 @@ def register_replicate_view(spark: SparkSession, replicate: int) -> None:
     spark.range(replicate).selectExpr("id AS i").createOrReplaceTempView("repl")
 
 
-def pages_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
-    """The pages corpus as a DataFrame (documents view must not be stale)."""
+def pages_df(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, partitions: int | None = None
+) -> DataFrame:
+    """The pages corpus as a DataFrame (documents view must not be stale).
+
+    With replicate > 1 the cross-joined source is repartitioned BEFORE the
+    text synthesis: documents.parquet is a single small file (one input
+    split), so without this every downstream stage would run on a handful
+    of tasks no matter how many cores the session has.
+    """
     load_tables(spark, sf_dir, ["documents"])
     if replicate > 1:
-        register_replicate_view(spark, replicate)
+        n = partitions or spark.sparkContext.defaultParallelism * 2
+        src = (
+            spark.table("documents")
+            .selectExpr("doc_id", "lang", "text")
+            .crossJoin(spark.range(replicate).selectExpr("id AS i"))
+            .repartition(n)
+            .selectExpr(
+                f"doc_id * {replicate} + i AS page_id", "lang", "text AS doc_text"
+            )
+        )
+        src.createOrReplaceTempView("pages_src")
+        return spark.sql(pages_sql(-1))
     return spark.sql(pages_sql(replicate))

@@ -58,6 +58,18 @@ def test_extraction_partition_invariant(spark):
     assert run(base.repartition(1)) == run(base.repartition(16, "page_id"))
 
 
+def test_arrow_path_matches_udf(spark):
+    """mapInArrow + RE2 (the production path) == pandas UDF, row for row."""
+    pages = synth.pages_df(spark, SF_DIR)
+    a = extract.with_coords_arrow(pages.select("page_id", "text"), keep=["page_id"])
+    arrow_rows = sorted((r.page_id, r.lat, r.lon) for r in a.collect())
+    p = pages.withColumn("c", extract.extract_coords_udf("text")).select(
+        "page_id", "c.lat", "c.lon"
+    )
+    pandas_rows = sorted((r.page_id, r.lat, r.lon) for r in p.collect())
+    assert arrow_rows == pandas_rows
+
+
 def test_all_matches_document_order(spark):
     df = spark.createDataFrame(
         [("geo:1.5,2.5 then (3.25, -4.75) and lat 5.5, lon 6.5",), ("no coords",)],
