@@ -171,6 +171,34 @@ def geo_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_op.tile_stats(pts, TILE_ZOOM, measure_col="m100")
 
 
+_TILE_STATS_ORACLE = f"""
+WITH pages AS ({synth.pages_sql()}),
+t AS (SELECT page_id, lat_s, lon_s, {_xt6} AS xt, {_yt6} AS yt
+      FROM pages WHERE has_geo = 1)
+SELECT {TILE_ZOOM} AS z, xt, yt,
+       count(*) AS n_pages,
+       min(lat_s) AS min_lat_s, max(lat_s) AS max_lat_s,
+       min(lon_s) AS min_lon_s, max(lon_s) AS max_lon_s,
+       CAST(sum(page_id % 100) AS BIGINT) AS chk
+FROM t GROUP BY xt, yt
+"""
+
+
+@query("geo_pipeline_checkpointed", _TILE_STATS_ORACLE)
+def geo_pipeline_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full resumable pipeline (plans/geo_run.py) end-to-end: every
+    stage lands as a table-format snapshot with lineage metrics, and the
+    final tile stats must equal the direct query's oracle exactly —
+    checkpointing is not allowed to change a single value."""
+    import tempfile
+
+    from .plans import geo_run
+
+    base = tempfile.mkdtemp(prefix="geoproc_ckpt_query_")
+    out = geo_run.run_geo_pipeline(spark, sf_dir, "driver_check", base)
+    return out["tile_stats"]
+
+
 # -------------------------------------------------------------------- geo_knn
 @query(
     "geo_knn",

@@ -1,0 +1,111 @@
+"""Physical-plan audits (pushdown, pruning, broadcast) and skew-balance
+assertions — the 'would this survive 100x scale-up' checks (SURVEY.md §4.2,
+FIXTURES.md T4)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geoproc_spark import queries as Q
+from geoproc_spark import synth
+from geoproc_spark.functions import cells
+from geoproc_spark.operators import spatial_join as sj
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain_all(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    df = Q.SPARK_QUERIES["tpch_q6"](spark, SF_DIR)
+    plan = _explain_all(df)
+    # filters reach the parquet reader (plan string elides the full list,
+    # so assert on the visible DataFilters + PushedFilters prefix)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "(l_shipdate#" in plan and ">= 19" in plan  # scan-level range filter
+
+
+def test_tpch_q1_column_pruning(spark):
+    df = Q.SPARK_QUERIES["tpch_q1"](spark, SF_DIR)
+    plan = _explain_all(df)
+    scan = plan[plan.index("ReadSchema:") :].splitlines()[0]
+    # only the 8 needed columns are read, not the full 11-column table
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_pip_join_broadcasts_polygon_side(spark):
+    pts = synth.pages_df(spark, SF_DIR).select(
+        "page_id",
+        (F.col("lat_s") / 10000.0).alias("lat"),
+        (F.col("lon_s") / 10000.0).alias("lon"),
+    )
+    j = sj.spatial_join(pts, sj.polygons_df(spark))
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    # the build side must be the polygon/covering side, not the points
+    assert "BuildRight" in plan
+
+
+def test_tile_lookup_partition_pruning(spark, tmp_path):
+    """The PNG-tile-sink analog (reference app.py:125-178): a single-tile
+    fetch from a cell-prefix-partitioned table must scan ONE partition."""
+    pts = synth.pages_df(spark, SF_DIR).filter("has_geo = 1")
+    t = pts.select(
+        "page_id",
+        "lat_s",
+        "lon_s",
+        cells.cell_id_col(F.col("lat_s") / 10000.0, F.col("lon_s") / 10000.0, 6).alias(
+            "cell"
+        ),
+    )
+    path = str(tmp_path / "tiles_table")
+    t.write.partitionBy("cell").parquet(path)
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("cell") == t.first()["cell"])
+    plan = _explain_all(one)
+    assert "PartitionFilters: [isnotnull(cell" in plan
+    assert one.count() > 0
+
+
+def test_salting_balances_hot_cells(spark):
+    """FIXTURES.md T4: hot-spot pages pile into a handful of cells; the
+    salted join key must spread them within ~4x of the median bucket."""
+    pts = (
+        synth.pages_df(spark, SF_DIR, replicate=20)
+        .filter("has_geo = 1")
+        .select(
+            "page_id",
+            (F.col("lat_s") / 10000.0).alias("lat"),
+            (F.col("lon_s") / 10000.0).alias("lon"),
+        )
+    )
+    cell = cells.cell_id_col(F.col("lat"), F.col("lon"), sj.DEFAULT_JOIN_ZOOM)
+    unsalted = (
+        pts.withColumn("k", cell).groupBy("k").count().orderBy(F.desc("count"))
+    )
+    sizes = [r["count"] for r in unsalted.collect()]
+    top, med = sizes[0], int(np.median(sizes))
+    assert top > 20 * med, f"fixture not skewed enough: top={top} med={med}"
+
+    n_salt = 16
+    salted = (
+        pts.withColumn("k", cell)
+        .withColumn("s", F.pmod(F.xxhash64("page_id"), F.lit(n_salt)))
+        .groupBy("k", "s")
+        .count()
+    )
+    ssizes = sorted((r["count"] for r in salted.collect()), reverse=True)
+    smed = int(np.median(ssizes))
+    assert ssizes[0] <= 4 * max(smed, top // n_salt), (
+        f"salted top bucket {ssizes[0]} vs median {smed} (unsalted top {top})"
+    )
+    # and the salted join itself stays semantically identical (pinned also
+    # by the geo_pip_join_salted oracle): spot-check row counts here
+    poly = sj.polygons_df(spark)
+    plain_n = sj.spatial_join(pts, poly).count()
+    salted_n = sj.spatial_join(pts, poly, salt_buckets=n_salt).count()
+    assert plain_n == salted_n
