@@ -172,6 +172,77 @@ def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") ->
     return pairs.withColumn("cos", _cosine_cols(a_col, b_col))
 
 
+# ----------------------------------------------------------------- IVF index
+def ivf_centroids(
+    corpus: DataFrame, n_lists: int = 16, iters: int = 3, sample: int = 4096
+) -> np.ndarray:
+    """Deterministic IVF centroids: k-means on the first `sample` vectors by
+    id (seedless — the sample choice IS the seed), few Lloyd iterations,
+    driver-side numpy. At warehouse scale the sample is a cheap LIMIT scan;
+    training cost is independent of corpus size."""
+    rows = corpus.orderBy("vec_id").limit(sample).collect()
+    m = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows]))
+    cents = m[:n_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ _normalize(cents).T, axis=1)
+        for j in range(n_lists):
+            sel = m[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return _normalize(cents)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding", n_lists: int = 1) -> DataFrame:
+    """Add `list_id` = nearest centroid (or explode into the `n_lists`
+    nearest for multi-probe query sides). One GEMM per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def lists(emb: pd.Series) -> pd.Series:
+        c = bc.value
+        s = _normalize(_matrix(emb)) @ c.T
+        top = np.argsort(-s, axis=1)[:, :n_lists].astype(np.int32)
+        return pd.Series(list(top))
+
+    out = df.withColumn("_lists", lists(emb_col))
+    return out.withColumn("list_id", F.explode("_lists")).drop("_lists")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: corpus bucketed by nearest centroid (the inverted
+    lists — at scale, the table's partition key); queries probe their
+    `nprobe` nearest lists; exact cosine re-rank within. (qid, vec_id, rank).
+    """
+    cb = ivf_assign(
+        corpus.select(F.col("vec_id"), F.col("embedding").alias("emb_c")), centroids, "emb_c"
+    )
+    qb = ivf_assign(
+        queries.select(F.col("qid"), F.col("embedding").alias("emb_q")),
+        centroids,
+        "emb_q",
+        n_lists=nprobe,
+    )
+    scored = (
+        cb.join(qb, "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosine_cols("emb_q", "emb_c").alias("cos"))
+        # no dedup needed: each corpus vector lives in exactly one list
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank")
+    )
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All (vec_a < vec_b) pairs with cosine > threshold: broadcast the
     corpus matrix, one GEMM per Arrow batch. For corpora beyond broadcast

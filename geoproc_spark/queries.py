@@ -518,6 +518,18 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")  # rows-only: k-means centroids aren't SQL-expressible
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 inverted lists, nprobe=4): deterministic centroids,
+    exact re-rank within probed lists; recall vs brute force is test-pinned
+    (test_ivf_stateful_props)."""
+    synth.load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    cents = sim.ivf_centroids(emb, n_lists=16)
+    queries_df = emb.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding")
+    return sim.ivf_topk(queries_df, emb, cents, k=5, nprobe=4)
+
+
 @query("multimodal_features")  # rows-only: binary codec plumbing isn't SQL
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary asset payloads (fake codec,
