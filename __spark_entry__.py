@@ -34,4 +34,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLE_SQL)
+    # static shared-dialect SQL + lazily-built VALUES oracles (numpy twins)
+    return Q.all_oracle_sql()

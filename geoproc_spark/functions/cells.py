@@ -128,6 +128,76 @@ def parent_cell_col(cell: Column, from_zoom: int, to_zoom: int) -> Column:
     )
 
 
+# --------------------------------------------------------- zoom derivation
+# F10 (reference geoproc/server/image.py:467-515): min_zoom comes from the
+# maximum theoretical overview level of the raster, max_zoom from matching
+# the native resolution to the tile-matrix resolution ladder. The reference
+# delegates to rio-tiler's get_maximum_overview_level and morecantile's
+# zoom_for_res; both are closed-form math reproduced here without the libs.
+
+EARTH_CIRCUMFERENCE = 2.0 * math.pi * 6378137.0  # WebMercator equator, meters
+TILE_SIZE = 256
+TMS_MAX_ZOOM = 24
+
+
+def zoom_resolution(zoom: int, tilesize: int = TILE_SIZE) -> float:
+    """Meters/pixel of the Web-Mercator tile matrix at `zoom`."""
+    return EARTH_CIRCUMFERENCE / (tilesize * (1 << zoom))
+
+
+def zoom_for_res(
+    res: float,
+    max_z: int = TMS_MAX_ZOOM,
+    strategy: str = "auto",
+    tilesize: int = TILE_SIZE,
+) -> int:
+    """Zoom whose matrix resolution best matches `res` (m/px) — the
+    morecantile `TMS.zoom_for_res` contract used by the reference's
+    _get_minzoom/_get_maxzoom (geoproc/server/image.py:484,505): scan down
+    the ladder to the first zoom at least as fine as `res`, then the
+    'auto' strategy snaps to whichever neighbor is closer in ratio."""
+    zoom = 0
+    matrix_res = zoom_resolution(0, tilesize)
+    for zoom in range(max_z + 1):
+        matrix_res = zoom_resolution(zoom, tilesize)
+        if res > matrix_res or abs(res - matrix_res) / matrix_res <= 1e-8:
+            break
+    if zoom > 0 and abs(res - matrix_res) / matrix_res > 1e-8:
+        if strategy == "lower":
+            zoom = max(zoom - 1, 0)
+        elif strategy == "upper":
+            zoom = min(zoom, max_z)
+        else:  # auto: pick the closer neighbor by resolution ratio
+            if (zoom_resolution(zoom - 1, tilesize) / res) < (res / matrix_res):
+                zoom = max(zoom - 1, 0)
+    return zoom
+
+
+def max_overview_level(width: int, height: int, minsize: int = TILE_SIZE) -> int:
+    """Maximum theoretical COG overview level: halve until the smaller
+    dimension fits one tile (rio-tiler get_maximum_overview_level, cited by
+    the reference at geoproc/server/image.py:477)."""
+    level = 0
+    factor = 1
+    while min(width // factor, height // factor) > minsize:
+        factor *= 2
+        level += 1
+    return level
+
+
+def min_max_zoom(
+    width: int, height: int, resolution: float, tilesize: int = TILE_SIZE
+) -> tuple[int, int]:
+    """(min_zoom, max_zoom) for a raster of `width`x`height` px at
+    `resolution` m/px — the P4 zoom gate inputs (reference
+    geoproc/server/image.py:467-515): min from the coarsest overview's
+    resolution, max from the native resolution."""
+    ovr = max_overview_level(width, height, minsize=tilesize)
+    min_zoom = zoom_for_res(resolution * (1 << ovr), tilesize=tilesize)
+    max_zoom = zoom_for_res(resolution, tilesize=tilesize)
+    return min_zoom, max_zoom
+
+
 # ------------------------------------------------------------------ SQL form
 def tile_sql(lat_expr: str, lon_expr: str, zoom: int) -> tuple[str, str]:
     """Shared-dialect SQL fragments for (xtile, ytile) — DuckDB oracle parity.

@@ -49,12 +49,18 @@ class Image:
         dtype: str,
         n_px: int,
         scalar: float | None = None,
+        min_zoom: int | None = None,
+        max_zoom: int | None = None,
     ):
         self.df = df
         self.band_names = list(band_names)
         self.dtype = dtype
         self.n_px = n_px
         self.scalar = scalar
+        # F10 zoom range (reference geoproc/server/image.py:467-515); None =
+        # unknown (derive with with_zoom_range / functions.cells.min_max_zoom)
+        self.min_zoom = min_zoom
+        self.max_zoom = max_zoom
 
     # ------------------------------------------------------------- sources
     @classmethod
@@ -86,11 +92,39 @@ class Image:
             "dtype": self.dtype,
             "n_px": self.n_px,
             "boundless": self.df is None,
+            "min_zoom": self.min_zoom,
+            "max_zoom": self.max_zoom,
         }
 
     @property
     def n_bands(self) -> int:
         return len(self.band_names)
+
+    def with_zoom_range(self, width_px: int, height_px: int, resolution: float) -> "Image":
+        """Derive (min_zoom, max_zoom) from raster geometry — F10 (reference
+        geoproc/server/image.py:467-515): min from the coarsest overview
+        resolution, max from the native resolution."""
+        from .functions import cells as _cells
+
+        mn, mx = _cells.min_max_zoom(width_px, height_px, resolution)
+        return Image(
+            self.df, self.band_names, self.dtype, self.n_px, self.scalar, mn, mx
+        )
+
+    def tile(self, z: int, x: int, y: int) -> DataFrame:
+        """Single-tile fetch with the P4 min-zoom gate (reference
+        geoproc/server/app.py:145-149: tiles below min_zoom are refused —
+        rendering them would pull the whole image through one request) and
+        the P3 bounds predicate (tiles outside the data 204 to empty). The
+        (z,x,y) filter prunes partitions when the table is written
+        partitioned by z (see export)."""
+        if self.min_zoom is not None and z < self.min_zoom:
+            raise ValueError(
+                f"zoom {z} below min_zoom {self.min_zoom} (P4 gate, reference app.py:145-149)"
+            )
+        return self.df.filter(
+            (F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y)
+        )
 
     # ---------------------------------------------------------- projection
     def select(self, bands: list[str] | list[int]) -> "Image":
@@ -123,7 +157,10 @@ class Image:
         if other.scalar is not None:  # image op constant
             data = A.scalar_data(op, F.col("data"), other.scalar, self.n_bands, reverse=reverse)
             df = self.df.select(*TILE_KEY, data.alias("data"), A.full_mask(self.n_px).alias("mask"))
-            return Image(df, self.band_names, "float64", self.n_px)
+            return Image(
+                df, self.band_names, "float64", self.n_px,
+                min_zoom=self.min_zoom, max_zoom=self.max_zoom,
+            )
         if self.scalar is not None:  # constant op image
             return other._binary(self, op, reverse=not reverse)
 
@@ -132,11 +169,14 @@ class Image:
         data = A.binary_data(op, F.col("_da"), F.col("_db"), a.n_bands, b.n_bands)
         mask = A.mask_union(F.col("_ma"), F.col("_mb"))
         df = j.select(*TILE_KEY, data.alias("data"), mask.alias("mask"))
-        # left operand's band names (/root/reference/geoproc/server/image.py:312)
+        # left operand's band names AND zoom range
+        # (/root/reference/geoproc/server/image.py:312-315)
         names = a.band_names if len(a.band_names) == max(a.n_bands, b.n_bands) else [
             f"B{i+1}" for i in range(max(a.n_bands, b.n_bands))
         ]
-        return Image(df, names, "float64", self.n_px)
+        return Image(
+            df, names, "float64", self.n_px, min_zoom=a.min_zoom, max_zoom=a.max_zoom
+        )
 
     def __add__(self, o):
         return self._binary(o, "add")
@@ -224,15 +264,33 @@ class Image:
                 "band_data", "mask", lambda v, m: F.when(m == 255, v)
             ).alias("valid_px"),
         )
-        return exploded.select(
+        base = exploded.select(
             *TILE_KEY,
             "band_idx",
             F.size(F.filter("valid_px", lambda v: v.isNotNull())).alias("n_valid"),
             F.aggregate(
                 "valid_px", F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0))
             ).alias("sum"),
+            F.aggregate(
+                "valid_px", F.lit(0.0), lambda acc, v: acc + F.coalesce(v * v, F.lit(0.0))
+            ).alias("_sumsq"),
             F.array_min("valid_px").alias("min"),
             F.array_max("valid_px").alias("max"),
+        )
+        # avg + population stddev from (sum, sumsq, n) — SURVEY §2.5 A1 names
+        # F.avg/F.stddev; here the "group" is the pixel array, so the moments
+        # fold JVM-side and the stddev is the closed form sqrt(E[x^2]-E[x]^2)
+        mean = F.col("sum") / F.col("n_valid")
+        var = F.greatest(F.lit(0.0), F.col("_sumsq") / F.col("n_valid") - mean * mean)
+        return base.select(
+            *TILE_KEY,
+            "band_idx",
+            "n_valid",
+            "sum",
+            "min",
+            "max",
+            F.when(F.col("n_valid") > 0, mean).alias("avg"),
+            F.when(F.col("n_valid") > 0, F.sqrt(var)).alias("stddev"),
         )
 
     def export(self, path: str, partition_zooms: bool = True, rows_per_file: int = 4096) -> None:

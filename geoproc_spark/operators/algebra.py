@@ -122,11 +122,21 @@ def mask_union(a: Column, b: Column) -> Column:
 def rescale_data(a: Column, ranges: list[tuple[float, float]]) -> Column:
     """Linear rescale to 0..255 per band
     (/root/reference/geoproc/server/app.py:162-168); `ranges` is already
-    expanded per band (expand_scale_range, app.py:55-61)."""
+    expanded per band (expand_scale_range, app.py:55-61). The reference's
+    img.rescale delegates to rio-tiler linear_rescale, which CLIPS the input
+    to [lo, hi] before scaling — out-of-range pixels saturate at 0/255
+    rather than escaping the output range. (The uint8 cast happens at render
+    time, see render_tile_uint8.)"""
     bands = []
     for i, (lo, hi) in enumerate(ranges):
-        lo_l, span = F.lit(float(lo)), F.lit(float(hi) - float(lo))
-        bands.append(F.transform(a[i], lambda x: (x - lo_l) / span * F.lit(255.0)))
+        lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
+        span = F.lit(float(hi) - float(lo))
+        bands.append(
+            F.transform(
+                a[i],
+                lambda x: (F.greatest(lo_l, F.least(hi_l, x)) - lo_l) / span * F.lit(255.0),
+            )
+        )
     return F.array(*bands)
 
 
@@ -138,6 +148,16 @@ def opacity_mask(mask: Column, opacity: float) -> Column:
         return mask
     k = round((1.0 - opacity) * 255)
     return F.transform(mask, lambda m: (m * F.lit(k)) % F.lit(256))
+
+
+def uint8_data(a: Column, n_bands: int) -> Column:
+    """Final render cast: float [0,255] -> uint8 by truncation, numpy
+    `.astype(np.uint8)` semantics after the clamped rescale (the PNG encode
+    step of /root/reference/geoproc/server/app.py:176-178). Values are
+    already in range; floor == truncation for non-negative input."""
+    return F.array(
+        *[F.transform(a[i], lambda x: F.floor(x).cast("int")) for i in range(n_bands)]
+    )
 
 
 def expand_scale_range(rng, n_bands: int) -> list[tuple[float, float]]:

@@ -173,15 +173,12 @@ def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") ->
 
 
 # ----------------------------------------------------------------- IVF index
-def ivf_centroids(
-    corpus: DataFrame, n_lists: int = 16, iters: int = 3, sample: int = 4096
-) -> np.ndarray:
-    """Deterministic IVF centroids: k-means on the first `sample` vectors by
-    id (seedless — the sample choice IS the seed), few Lloyd iterations,
-    driver-side numpy. At warehouse scale the sample is a cheap LIMIT scan;
-    training cost is independent of corpus size."""
-    rows = corpus.orderBy("vec_id").limit(sample).collect()
-    m = _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows]))
+def centroids_np(sample_mat: np.ndarray, n_lists: int = 16, iters: int = 3) -> np.ndarray:
+    """Deterministic Lloyd k-means on a pre-normalized sample matrix — the
+    shared numpy kernel behind ivf_centroids AND the driver-side oracle twin
+    (queries.py ann_ivf_topk oracle), so both compute bit-identical
+    centroids."""
+    m = _normalize(sample_mat)
     cents = m[:n_lists].copy()
     for _ in range(iters):
         assign = np.argmax(m @ _normalize(cents).T, axis=1)
@@ -190,6 +187,18 @@ def ivf_centroids(
             if len(sel):
                 cents[j] = sel.mean(axis=0)
     return _normalize(cents)
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_lists: int = 16, iters: int = 3, sample: int = 4096
+) -> np.ndarray:
+    """Deterministic IVF centroids: k-means on the first `sample` vectors by
+    id (seedless — the sample choice IS the seed), few Lloyd iterations,
+    driver-side numpy. At warehouse scale the sample is a cheap LIMIT scan;
+    training cost is independent of corpus size."""
+    rows = corpus.orderBy("vec_id").limit(sample).collect()
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return centroids_np(m, n_lists=n_lists, iters=iters)
 
 
 def ivf_assign(df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding", n_lists: int = 1) -> DataFrame:

@@ -50,11 +50,22 @@ def abs_(a: Tiles) -> Tiles:
 
 
 def rescale(a: Tiles, ranges) -> Tiles:
+    """rio-tiler linear_rescale: CLIP to in_range, then scale to (0, 255) —
+    the kernel behind the reference's img.rescale (app.py:162-168)."""
     out = {}
     for k, (d, m) in a.items():
-        bands = [(d[i] - lo) / (hi - lo) * 255.0 for i, (lo, hi) in enumerate(ranges)]
+        bands = [
+            (np.clip(d[i], lo, hi) - lo) / (hi - lo) * 255.0
+            for i, (lo, hi) in enumerate(ranges)
+        ]
         out[k] = (np.stack(bands), m)
     return out
+
+
+def render_uint8(a: Tiles) -> Tiles:
+    """PNG-encode dtype cast: float [0,255] -> uint8 truncation
+    (/root/reference/geoproc/server/app.py:176-178 via rio-tiler render)."""
+    return {k: (d.astype(np.uint8).astype(np.float64), m) for k, (d, m) in a.items()}
 
 
 def opacity(a: Tiles, op_val: float) -> Tiles:

@@ -26,6 +26,10 @@ TILE_ZOOM = 6
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+# Oracles whose SQL is a literal VALUES relation computed by an independent
+# numpy/stdlib twin (oracle/values_oracle.py) — built lazily so importing
+# this module stays cheap and fixture-free.
+ORACLE_SQL_LAZY: dict[str, Callable[[], str]] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -36,6 +40,13 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out = dict(ORACLE_SQL)
+    for name, build in ORACLE_SQL_LAZY.items():
+        out[name] = build()
+    return out
 
 
 def _pages_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,10 +91,14 @@ def geo_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- geo_s2_cells
-@query("geo_s2_cells")  # no oracle: Hilbert bit-twiddling isn't SQL-expressible
+@query("geo_s2_cells")  # oracle: independent numpy twin -> VALUES (lazy, below)
 def geo_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style cell encoding (numpy Hilbert, Arrow-batched) — the alternative
-    index/partition key; invariants are property-tested in test_s2_streaming."""
+    index/partition key; invariants are property-tested in test_s2_streaming.
+    The CORRECTNESS oracle is a VALUES relation of expected ids computed from
+    the integer ground truth by a driver-side numpy twin
+    (oracle/values_oracle.py) — the engine path below still runs the full
+    text-extraction + pandas-UDF pipeline."""
     from pyspark.sql import types as T
 
     from .functions import s2
@@ -518,11 +533,13 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # rows-only: k-means centroids aren't SQL-expressible
+@query("ann_ivf_topk")  # oracle: numpy replica of the IVF path -> VALUES (lazy)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16 inverted lists, nprobe=4): deterministic centroids,
     exact re-rank within probed lists; recall vs brute force is test-pinned
-    (test_ivf_stateful_props)."""
+    (test_ivf_stateful_props). CORRECTNESS oracle: an independent numpy
+    replica (same shared centroids_np kernel, same probe/re-rank rules)
+    emitted as VALUES — oracle/values_oracle.ivf_topk_values_sql."""
     synth.load_tables(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
     cents = sim.ivf_centroids(emb, n_lists=16)
@@ -530,21 +547,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries_df, emb, cents, k=5, nprobe=4)
 
 
-@query("multimodal_features")  # rows-only: binary codec plumbing isn't SQL
+@query("multimodal_features")  # oracle: stdlib/numpy codec twin -> VALUES (lazy)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary asset payloads (fake codec,
-    real Arrow plumbing) — numpy-oracle-tested in test_multimodal."""
+    real Arrow plumbing). CORRECTNESS oracle: the codec twin's expected rows
+    as VALUES (oracle/values_oracle.multimodal_features_values_sql); also
+    numpy-oracle-tested in test_multimodal."""
     from .operators import multimodal as mm
 
     return mm.extract_features(mm.assets_df(spark, 200))
 
 
-@query("multimodal_frame_sample")  # rows-only (binary output column)
+@query("multimodal_frame_sample")  # oracle: codec twin digests -> VALUES (lazy)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one row per kept frame, frame as image payload."""
+    """Video frame sampling: one row per kept frame. The operator's output
+    carries the frame as a BINARY image payload; the registered query
+    projects (n_bytes, md5) digests of it so the driver's value-hash
+    compares cleanly across engines (raw BLOB literals hash differently
+    per dialect) — the payload bytes are still fully pinned by the md5."""
     from .operators import multimodal as mm
 
-    return mm.sample_frames(mm.assets_df(spark, 200), every_k=2)
+    frames = mm.sample_frames(mm.assets_df(spark, 200), every_k=2)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+from .oracle import values_oracle as VO  # noqa: E402
+
+ORACLE_SQL_LAZY["geo_s2_cells"] = VO.s2_cells_values_sql
+ORACLE_SQL_LAZY["ann_ivf_topk"] = VO.ivf_topk_values_sql
+ORACLE_SQL_LAZY["multimodal_features"] = VO.multimodal_features_values_sql
+ORACLE_SQL_LAZY["multimodal_frame_sample"] = VO.frame_sample_values_sql
 
 
 # ============================================== relational / windowed analytics

@@ -10,9 +10,16 @@ analog of the reference's Redis map registry
 keyed by id, readable without recomputation.
 
 Layout:
-    <path>/data/...              parquet (optionally partitioned)
-    <path>/metadata/snap-<n>.json   {schema, partition_spec, files[], summary}
+    <path>/data/snap-<n>/...        parquet (optionally partitioned), one
+                                    immutable directory per snapshot
+    <path>/metadata/snap-<n>.json   {schema, partition_spec, base, files[], summary}
     <path>/metadata/version-hint.text   latest snapshot number
+
+Commit ordering is Iceberg's write-data-then-commit: data files land in a
+fresh snapshot-scoped directory first, the manifest second, the
+version-hint pointer LAST — a crash at any point leaves the previous
+snapshot fully readable (old snapshots are never touched; reclaiming them
+is an expire-snapshots job, like Iceberg's).
 """
 
 from __future__ import annotations
@@ -62,8 +69,15 @@ def write_table(
 
     Per-file row counts come from the parquet footers (no extra Spark job) —
     they are the per-partition lineage the pipeline layer records.
+
+    Data files go to a fresh `data/snap-<n>/` directory BEFORE any metadata
+    is written, and the version-hint pointer flips last — a forced re-run
+    that crashes mid-write can never corrupt the currently-committed
+    snapshot (the Iceberg commit protocol this layer emulates).
     """
-    data = _data_dir(path)
+    prev = current_snapshot_id(path)
+    snap_id = (prev or 0) + 1
+    data = os.path.join(_data_dir(path), f"snap-{snap_id}")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -78,14 +92,13 @@ def write_table(
                 "bytes": os.path.getsize(f),
             }
         )
-    prev = current_snapshot_id(path)
-    snap_id = (prev or 0) + 1
     manifest = {
         "snapshot_id": snap_id,
         "parent_id": prev,
         "created_ms": int(time.time() * 1000),
         "schema": df.schema.jsonValue(),
         "partition_spec": partition_by or [],
+        "base": os.path.relpath(data, path),
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
         "summary": summary or {},
@@ -93,6 +106,7 @@ def write_table(
     os.makedirs(_meta_dir(path), exist_ok=True)
     with open(os.path.join(_meta_dir(path), f"snap-{snap_id}.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    # the commit point: everything above is invisible until this write
     with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as fh:
         fh.write(str(snap_id))
     return manifest
@@ -110,15 +124,18 @@ def read_manifest(path: str, snapshot: int | None = None) -> dict | None:
 
 
 def read_table(spark: SparkSession, path: str, snapshot: int | None = None) -> DataFrame:
-    """Read a snapshot. With `snapshot`, reads exactly that snapshot's file
-    list (time travel); otherwise the current data directory."""
+    """Read a snapshot (the current one, or `snapshot` for time travel).
+
+    Always reads exactly the manifest's file list with `basePath` set to the
+    snapshot's data directory, so Hive-style partition columns (e.g. the
+    extract stage's cell_p) are inferred identically for current and
+    time-travel reads."""
     m = read_manifest(path, snapshot)
     if m is None:
         raise FileNotFoundError(f"no snapshot metadata under {path}")
-    if snapshot is None:
-        return spark.read.parquet(_data_dir(path))
+    base = os.path.join(path, m.get("base", "data"))
     files = [os.path.join(path, f["path"]) for f in m["files"]]
-    return spark.read.parquet(*files)
+    return spark.read.option("basePath", base).parquet(*files)
 
 
 def table_exists(path: str) -> bool:

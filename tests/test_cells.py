@@ -81,3 +81,36 @@ def test_parent_cell(spark):
         cells.parent_cell_col(F.col("cell"), zoom, parent_zoom).alias("p")
     ).collect()
     assert [r["p"] for r in got] == want.tolist()
+
+
+def test_zoom_for_res_golden():
+    """F10 goldens vs hand-computed Web-Mercator ladder values (reference
+    geoproc/server/image.py:467-515 -> morecantile zoom_for_res semantics)."""
+    # exact matrix resolutions map to their own zoom
+    for z in (0, 5, 12, 20):
+        assert cells.zoom_for_res(cells.zoom_resolution(z)) == z
+    # 10 m/px: res_14=9.55, res_13=19.11 -> auto picks 14 (closer in ratio)
+    assert cells.zoom_for_res(10.0) == 14
+    # 15 m/px: 19.11/15=1.27 < 15/9.55=1.57 -> snaps UP the ladder to 13
+    assert cells.zoom_for_res(15.0) == 13
+    # strategy overrides
+    assert cells.zoom_for_res(15.0, strategy="upper") == 14
+    assert cells.zoom_for_res(15.0, strategy="lower") == 13
+    # coarser than zoom 0 clamps to 0
+    assert cells.zoom_for_res(1e9) == 0
+
+
+def test_max_overview_level_golden():
+    # rio-tiler get_maximum_overview_level semantics (halve until <= minsize)
+    assert cells.max_overview_level(256, 256) == 0
+    assert cells.max_overview_level(512, 512) == 1
+    assert cells.max_overview_level(10000, 8000) == 5
+    assert cells.max_overview_level(100, 100) == 0
+
+
+def test_min_max_zoom_golden():
+    mn, mx = cells.min_max_zoom(10000, 8000, 10.0)
+    assert (mn, mx) == (9, 14)
+    # a tiny raster has no overviews: min_zoom == max_zoom
+    mn2, mx2 = cells.min_max_zoom(200, 200, 100.0)
+    assert mn2 == mx2

@@ -113,6 +113,42 @@ def test_rescale_opacity(imgs):
     _assert_tiles_equal(got, want)
 
 
+def test_rescale_clamps_out_of_range(imgs):
+    """rio-tiler linear_rescale clips input to [lo, hi]: pixels outside the
+    range saturate at 0/255 instead of escaping the output range. The
+    fixture pixel range is [0, 96], so (20, 60) forces both tails."""
+    a, _, na, _ = imgs
+    got = _collect(a.rescale((20.0, 60.0)))
+    want = O.rescale(na, [(20.0, 60.0), (20.0, 60.0)])
+    _assert_tiles_equal(got, want)
+    lo = min(d.min() for d, _ in got.values())
+    hi = max(d.max() for d, _ in got.values())
+    assert lo == 0.0 and hi == 255.0  # saturation actually exercised
+
+
+def test_render_uint8_chain(imgs):
+    """The S5 render composition: select -> clamped rescale -> opacity ->
+    uint8 truncation, vs the numpy oracle end-to-end."""
+    from pyspark.sql import functions as F
+
+    from geoproc_spark.operators import algebra as A
+
+    a, _, na, _ = imgs
+    r = a.select(["B1"]).rescale((10.0, 70.0)).with_opacity(0.5)
+    rendered = r.df.select(
+        "z", "x", "y", A.uint8_data(F.col("data"), 1).alias("data"), "mask"
+    )
+    got = {}
+    for row in rendered.collect():
+        got[(row["z"], row["x"], row["y"])] = (
+            np.array([list(b) for b in row["data"]], dtype=np.float64),
+            np.array(list(row["mask"]), dtype=np.int64),
+        )
+    sel = {k: (d[0:1], m) for k, (d, m) in na.items()}
+    want = O.render_uint8(O.opacity(O.rescale(sel, [(10.0, 70.0)]), 0.5))
+    _assert_tiles_equal(got, want)
+
+
 def test_comparison_is_float64_zero_one(imgs):
     a, b, *_ = imgs
     got = _collect(a > b)
@@ -131,6 +167,25 @@ def test_statistics(spark, imgs):
             assert r["n_valid"] == len(valid)
             assert r["sum"] == valid.sum()
             assert r["min"] == valid.min() and r["max"] == valid.max()
+            assert r["avg"] == pytest.approx(valid.mean(), rel=1e-12)
+            assert r["stddev"] == pytest.approx(valid.std(), rel=1e-9, abs=1e-9)
+
+
+def test_zoom_range_and_p4_gate(imgs):
+    """F10 zoom derivation + the P4 min-zoom gate on single-tile fetch."""
+    a, *_ = imgs
+    # 10m/px 10000x8000 raster: max_zoom = zoom_for_res(10) = 14 (res_14 =
+    # 9.55 m/px, res_13 = 19.1; 10 is closer to 9.55 in ratio), overviews
+    # halve 8000 -> 250<=256 at level 5, min_zoom = zoom_for_res(10*32=320)
+    # = 9 (res_9 = 305.7, res_8 = 611.5; ratio picks 9).
+    img = a.with_zoom_range(10000, 8000, 10.0)
+    assert (img.min_zoom, img.max_zoom) == (9, 14)
+    assert img.info["min_zoom"] == 9
+    with pytest.raises(ValueError):
+        img.tile(3, 0, 0)  # z=3 < min_zoom=9 -> refused (app.py:145-149)
+    # binary ops keep the LEFT operand's zoom range (image.py:313-314)
+    assert ((img + 1).min_zoom, (img + 1).max_zoom) == (9, 14)
+    assert (img * 2 + 1).max_zoom == 14
 
 
 def test_export_roundtrip(spark, imgs, tmp_path):

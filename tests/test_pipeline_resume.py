@@ -23,9 +23,13 @@ def test_tableformat_snapshots_and_time_travel(spark, tmp_path):
     assert m2["snapshot_id"] == 2 and m2["parent_id"] == 1
 
     assert tf.read_table(spark, p).count() == 25
-    # snapshot 1's file list is gone after overwrite — but its manifest
-    # still describes it (metadata retained); current read reflects snap 2
+    # snapshot data dirs are immutable: time-travel back to snap 1 reads
+    # its full data (write-data-then-commit — snap 2 never touched snap 1)
     assert tf.read_manifest(p, 1)["total_rows"] == 10
+    t1 = tf.read_table(spark, p, snapshot=1)
+    assert t1.count() == 10
+    # partition columns are inferred on time-travel reads too (basePath)
+    assert "k" in t1.columns and t1.select("k").distinct().count() == 3
     assert tf.current_snapshot_id(p) == 2
 
 
@@ -91,5 +95,10 @@ def test_geo_pipeline_end_to_end_resume_identical(spark, tmp_path):
     # extract stage is cell-prefix partitioned on disk (partition pruning)
     import os
 
-    parts = [d for d in os.listdir(f"{base}/geo/extract/data") if d.startswith("cell_p=")]
+    mext = tf.read_manifest(f"{base}/geo/extract")
+    snap_dir = os.path.join(f"{base}/geo/extract", mext["base"])
+    parts = [d for d in os.listdir(snap_dir) if d.startswith("cell_p=")]
     assert len(parts) > 1
+    # ...and the partition column survives a time-travel read (basePath)
+    tt = tf.read_table(spark, f"{base}/geo/extract", snapshot=mext["snapshot_id"])
+    assert "cell_p" in tt.columns
