@@ -134,6 +134,50 @@ def _spark_types(df, cols: list[str]) -> list[tuple[str, str]]:
     return [(c, m[c]) for c in cols]
 
 
+# ------------------------------------------------------------ HTML extraction
+# The input_hint corpus carries `html BINARY` next to `text` (BASELINE.json):
+# a pinned wrapper embedding the page text in <p>...</p> plus, on geotagged
+# pages, a geo.position meta tag (synth._HTML_SQL). The HTML spec, pinned:
+#   1. a <meta name="geo.position" content="LAT;LON"> wins if present;
+#   2. otherwise the text patterns run over the whole document.
+_META_RE = re.compile(r'<meta name="geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)">')
+_BODY_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+
+def _first_coord_html(html: bytes | None) -> tuple[float | None, float | None]:
+    if not html:
+        return None, None
+    s = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
+    m = _META_RE.search(s)
+    if m is not None:
+        return float(m.group(1)), float(m.group(2))
+    return _first_coord(s)
+
+
+@F.pandas_udf(COORD_SCHEMA)
+def extract_coords_html_udf(html: pd.Series) -> pd.DataFrame:
+    """First coordinate mention per page from raw HTML bytes (Arrow-batched;
+    meta tag first, text patterns as fallback)."""
+    pairs = [_first_coord_html(h) for h in html]
+    return pd.DataFrame(pairs, columns=["lat", "lon"])
+
+
+@F.pandas_udf(T.StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    """Extracted text from HTML — the input_hint's per-url invariant: the
+    result must be byte-identical to the page's `text` column (the corpus
+    embeds text losslessly in <p>...</p>; non-greedy span for robustness)."""
+
+    def one(h):
+        if h is None:
+            return None
+        s = h.decode("utf-8") if isinstance(h, (bytes, bytearray)) else h
+        m = _BODY_RE.search(s)
+        return m.group(1) if m is not None else ""
+
+    return pd.Series([one(h) for h in html])
+
+
 def extract_coords_cols(text: Column) -> tuple[Column, Column]:
     """JVM-only variant: same spec via regexp_extract (no Python boundary).
 

@@ -90,6 +90,37 @@ def geo_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- geo_extract_html
+@query(
+    "geo_extract_html",
+    f"""
+WITH pages AS ({synth.pages_sql(dialect="duck")})
+SELECT page_id, warc_ts, lat_s / 10000.0 AS lat, lon_s / 10000.0 AS lon,
+       {_cell12} AS cell
+FROM pages WHERE has_geo = 1
+""",
+)
+def geo_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint path end-to-end: pages with (url, warc_ts TIMESTAMP,
+    html BINARY, text, lang) -> coordinate extraction from RAW HTML bytes
+    (geo.position meta first, text patterns fallback — functions/extract.py)
+    -> tile cell encode. Never touches the `text` column or the ground-truth
+    integers; the oracle recomputes expected values from them."""
+    pages = synth.pages_df(spark, sf_dir)
+    pts = pages.select(
+        "page_id", "warc_ts", extract.extract_coords_html_udf("html").alias("c")
+    ).select(
+        "page_id", "warc_ts", F.col("c.lat").alias("lat"), F.col("c.lon").alias("lon")
+    ).filter(F.col("lat").isNotNull())
+    return pts.select(
+        "page_id",
+        "warc_ts",
+        "lat",
+        "lon",
+        cells.cell_id_col(F.col("lat"), F.col("lon"), EXTRACT_ZOOM).alias("cell"),
+    )
+
+
 # ------------------------------------------------------------- geo_s2_cells
 @query("geo_s2_cells")  # oracle: independent numpy twin -> VALUES (lazy, below)
 def geo_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,14 +62,44 @@ def _coord_str(col: str) -> str:
     )
 
 
-def pages_sql(replicate: int = 1) -> str:
-    """Shared-dialect SQL deriving the `pages` corpus from `documents`.
+# warc_ts derivation: 2024-01-01T00:00:00Z + (page_id*37 mod 1 year) seconds,
+# exact integer micros — byte-identical across engines (host/session tz UTC).
+WARC_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01 epoch micros
+_WARC_US = f"({WARC_TS_BASE_US} + ((page_id * 37) % 31536000) * 1000000)"
+
+# Per-dialect fragments for the input_hint columns the shared subset can't
+# express: TIMESTAMP construction and VARCHAR->BINARY casts differ by name.
+_DIALECT = {
+    "spark": {"ts": f"timestamp_micros({_WARC_US})", "bin": "CAST({} AS BINARY)"},
+    "duck": {"ts": f"make_timestamp({_WARC_US})", "bin": "CAST({} AS BLOB)"},
+}
+
+# Pinned HTML wrapper (FIXTURES: html embeds the SAME text byte-identically,
+# plus a geo.position meta tag on geotagged pages — the html extraction path
+# must recover both). Text never contains markup chars (word-soup corpus),
+# and extraction still uses non-greedy spans for robustness.
+_HTML_SQL = (
+    "concat('<html><head><meta charset=\"utf-8\">', "
+    "CASE WHEN m < 6 THEN concat('<meta name=\"geo.position\" content=\"', "
+    "{lat_str}, ';', {lon_str}, '\">') ELSE '' END, "
+    "'</head><body><p>', page_text, '</p></body></html>')"
+)
+
+
+def pages_sql(replicate: int = 1, dialect: str | None = None) -> str:
+    """SQL deriving the `pages` corpus from `documents`.
 
     Columns: page_id BIGINT, url STRING, lang STRING, text STRING,
              lat_s BIGINT, lon_s BIGINT (NULL when the page has no coords),
-             has_geo INT (0/1), is_hot INT (0/1).
+             has_geo INT (0/1), is_hot INT (0/1);
+    with dialect in {"spark", "duck"} additionally the full input_hint shape
+    (BASELINE.json): warc_ts TIMESTAMP and html BINARY (a pinned wrapper of
+    the text; geotagged pages also carry a geo.position meta tag). The
+    default (dialect=None) emits only the shared-dialect subset — the form
+    every existing oracle embeds verbatim.
+
     lat_s/lon_s are the ground truth the extraction UDF must recover from
-    `text`; downstream oracle SQL uses them directly.
+    `text`/`html`; downstream oracle SQL uses them directly.
 
     replicate > 1 multiplies the corpus (bench only; requires a `repl`
     helper view with column `i` — see `register_replicate_view`).
@@ -118,19 +148,40 @@ txt AS (
          ELSE '' END AS coord_part,
          substr(doc_text, 1, 120) AS snippet
   FROM geo
+),
+assembled AS (
+  SELECT page_id, lang, m, g_lat, g_lon,
+         concat('Page ', CAST(page_id AS STRING), '. ', snippet,
+                CASE WHEN m < 6 THEN concat(' near ', coord_part, ' .') ELSE ' .' END) AS page_text
+  FROM txt
 )
 SELECT page_id,
        concat('https://site', CAST(page_id % 1000 AS STRING), '.example/p/',
               CAST(page_id AS STRING)) AS url,
        lang,
-       concat('Page ', CAST(page_id AS STRING), '. ', snippet,
-              CASE WHEN m < 6 THEN concat(' near ', coord_part, ' .') ELSE ' .' END) AS text,
+       page_text AS text,{_input_hint_cols(dialect)}
        CASE WHEN m < 6 THEN g_lat ELSE NULL END AS lat_s,
        CASE WHEN m < 6 THEN g_lon ELSE NULL END AS lon_s,
        CASE WHEN m < 6 THEN 1 ELSE 0 END AS has_geo,
        CASE WHEN m < 2 THEN 1 ELSE 0 END AS is_hot
-FROM txt
+FROM assembled
 """.strip()
+
+
+def _input_hint_cols(dialect: str | None) -> str:
+    """warc_ts + html column SQL for the chosen dialect ('' for the shared
+    subset). html wraps the exact page text (byte-identity invariant) and,
+    on geotagged pages, a geo.position meta with the same pinned coordinate
+    strings the text carries."""
+    if dialect is None:
+        return ""
+    d = _DIALECT[dialect]
+    html_str = _HTML_SQL.format(
+        lat_str=_coord_str("g_lat"), lon_str=_coord_str("g_lon")
+    )
+    return f"""
+       {d["ts"]} AS warc_ts,
+       {d["bin"].format(html_str)} AS html,"""
 
 
 def polygons_values_sql() -> str:
@@ -378,5 +429,5 @@ def pages_df(
             )
         )
         src.createOrReplaceTempView("pages_src")
-        return spark.sql(pages_sql(-1))
-    return spark.sql(pages_sql(replicate))
+        return spark.sql(pages_sql(-1, dialect="spark"))
+    return spark.sql(pages_sql(replicate, dialect="spark"))

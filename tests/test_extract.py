@@ -78,3 +78,61 @@ def test_all_matches_document_order(spark):
     rows = df.select(extract.extract_coords_all_udf("text").alias("a")).collect()
     got = [[(m["lat"], m["lon"]) for m in r["a"]] for r in rows]
     assert got == [[(1.5, 2.5), (3.25, -4.75), (5.5, 6.5)], []]
+
+
+def test_html_extraction_matches_ground_truth(spark):
+    """input_hint fidelity: coordinates extracted from RAW HTML bytes match
+    the integer ground truth exactly (meta tag path on geo pages)."""
+    pages = synth.pages_df(spark, SF_DIR)
+    df = pages.withColumn("c", extract.extract_coords_html_udf("html"))
+    bad = df.filter(
+        (
+            (F.col("has_geo") == 1)
+            & (
+                ~(F.col("c.lat") == F.col("lat_s") / 10000.0)
+                | ~(F.col("c.lon") == F.col("lon_s") / 10000.0)
+            )
+        )
+        | ((F.col("has_geo") == 0) & F.col("c.lat").isNotNull())
+    )
+    assert bad.count() == 0
+
+
+def test_html_to_text_byte_identical(spark):
+    """The per-url invariant on the html path: html_to_text(html) == text,
+    byte for byte, for every page."""
+    pages = synth.pages_df(spark, SF_DIR)
+    bad = pages.select(
+        "text", extract.html_to_text_udf("html").alias("t2")
+    ).filter(~F.col("text").eqNullSafe(F.col("t2")))
+    assert bad.count() == 0
+
+
+def test_html_meta_priority_and_fallback(spark):
+    """Pinned HTML spec: geo.position meta wins over body text patterns;
+    without a meta the text patterns run over the whole document."""
+    rows = [
+        # meta AND conflicting body text -> meta wins
+        (b'<html><head><meta name="geo.position" content="1.5000;2.5000">'
+         b"</head><body><p>lat 9.9999, lon 8.8888</p></body></html>",),
+        # no meta -> body pattern
+        (b"<html><head></head><body><p>geo:-3.2500,4.7500</p></body></html>",),
+        # nothing
+        (b"<html><head></head><body><p>plain</p></body></html>",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "html binary")
+    got = [
+        (r["c"]["lat"], r["c"]["lon"])
+        for r in df.select(extract.extract_coords_html_udf("html").alias("c")).collect()
+    ]
+    assert got == [(1.5, 2.5), (-3.25, 4.75), (None, None), (None, None)]
+
+
+def test_warc_ts_present_and_deterministic(spark):
+    """input_hint schema: warc_ts is a TIMESTAMP, identical across runs."""
+    p1 = synth.pages_df(spark, SF_DIR).select("page_id", "warc_ts")
+    assert dict(p1.dtypes)["warc_ts"] == "timestamp"
+    a = sorted(map(tuple, p1.collect()))
+    b = sorted(map(tuple, synth.pages_df(spark, SF_DIR).select("page_id", "warc_ts").collect()))
+    assert a == b and len(a) > 0
