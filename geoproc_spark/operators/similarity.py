@@ -11,9 +11,10 @@ JVM folds by orders of magnitude, and the scan side never shuffles.
 - `random_hyperplane_buckets` + `ann_topk_lsh`: sign-LSH bucketing (seeded
   deterministic planes) with optional hamming-1 multi-probe; exact re-rank
   inside buckets. The scale path: bucket id doubles as partition key.
-- `embedding_near_dups`: all pairs above a cosine threshold. The reference
-  block here is the full corpus (fine to ~10^5 vectors); at larger scale
-  the same GEMM runs inside LSH buckets.
+- `embedding_near_dups`: all pairs above a cosine threshold. Default is
+  banded sign-LSH bucketing with the exact GEMM per bucket (fully
+  distributed, no driver collect); the broadcast all-pairs kernel is the
+  small-corpus fast path, chosen only under an explicit row-count hint.
 
 Dot products for the *bucketing* stay deterministic across partitionings
 (fixed plane matrix, row-wise GEMM); top-k ranks are stable because random
@@ -252,10 +253,86 @@ def ivf_topk(
     )
 
 
-def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All (vec_a < vec_b) pairs with cosine > threshold: broadcast the
-    corpus matrix, one GEMM per Arrow batch. For corpora beyond broadcast
-    size, run the same kernel per LSH bucket (random_hyperplane_buckets)."""
+def _banded_sign_codes(n_bands: int, band_bits: int, seed: int):
+    """pandas UDF: ARRAY<BIGINT> of per-band sign-LSH codes. The hyperplanes
+    are generated inside the worker from (seed, dim) — deterministic and
+    identical across executors, with zero driver-side data movement (the
+    dimension is discovered from the first batch, not from a driver job)."""
+    planes_cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def codes(emb: pd.Series) -> pd.Series:
+        m = _matrix(emb)
+        dim = m.shape[1]
+        p = planes_cache.get(dim)
+        if p is None:
+            p = planes_cache[dim] = hyperplanes(dim, n_bands * band_bits, seed)
+        signs = (m @ p.T) > 0  # (rows, n_bands*band_bits)
+        w = 1 << np.arange(band_bits, dtype=np.int64)
+        per_band = signs.reshape(len(m), n_bands, band_bits) @ w  # (rows, n_bands)
+        return pd.Series(list(per_band.astype(np.int64)))
+
+    return codes
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    corpus_rows: int | None = None,
+    broadcast_limit: int = 65536,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_a < vec_b) pairs with cosine > threshold.
+
+    Default path (the scale path): banded sign-LSH pairing — each vector
+    gets `n_bands` band codes (band_bits hyperplane signs each), candidates
+    share ANY band bucket (minhash-LSH's OR-of-ANDs), the exact GEMM runs
+    per bucket inside applyInPandas, duplicates across bands drop in one
+    distinct. Nothing is ever collected to the driver; bucket size is
+    bounded by band_bits (scale band_bits with log2(corpus) to keep
+    buckets small; hot buckets split further via AQE skew handling).
+
+    Candidate recall for a pair at cosine c is 1-(1-p^band_bits)^n_bands
+    with p = 1 - arccos(c)/pi (~0.985 at c=0.95 with 4x4; -> 1 as c -> 1),
+    so this is exact for near-identical duplicates and near-exact at the
+    threshold; `embedding_near_dups_broadcast` is the exact all-pairs
+    kernel, auto-chosen only when the caller supplies a `corpus_rows` hint
+    under `broadcast_limit` (e.g. from a table-format manifest — never from
+    a count job here).
+    """
+    if corpus_rows is not None and corpus_rows <= broadcast_limit:
+        return embedding_near_dups_broadcast(corpus, threshold)
+
+    codes = _banded_sign_codes(n_bands, band_bits, seed)
+    bucketed = (
+        corpus.select("vec_id", "embedding", codes("embedding").alias("_codes"))
+        .select("vec_id", "embedding", F.posexplode("_codes").alias("band_id", "band_code"))
+    )
+
+    schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
+    )
+
+    def pair_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        m = _normalize(_matrix(pdf["embedding"]))
+        vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        s = m @ m.T
+        hit = (s > threshold) & (vids[:, None] < vids[None, :])
+        ai, bi = np.nonzero(hit)
+        return pd.DataFrame({"vec_a": vids[ai], "vec_b": vids[bi]})
+
+    pairs = bucketed.groupBy("band_id", "band_code").applyInPandas(pair_gemm, schema)
+    return pairs.distinct()
+
+
+def embedding_near_dups_broadcast(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Exact all-pairs kernel for small corpora: broadcast the corpus
+    matrix, one GEMM per Arrow batch. OOMs beyond ~10^5-10^6 vectors — the
+    caller (embedding_near_dups) only picks this under a size hint."""
     spark = corpus.sparkSession
     ids, mat = _collect_matrix(corpus, "vec_id")
     bc = spark.sparkContext.broadcast((ids, _normalize(mat)))

@@ -98,3 +98,60 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert r1 > 2 * (1 / 16), f"single-probe recall {r1} at bucket-share baseline"
     assert r2 > 1.5 * r1, f"multi-probe {r2} didn't improve on {r1}"
     assert r2 > 0.3, f"multi-probe recall {r2}"
+
+def test_embedding_neardup_bucketed_no_driver_collect(spark, monkeypatch):
+    """The default near-dup path must never collect the corpus to the
+    driver (the 100 TB scale killer): poison _collect_matrix and run it."""
+
+    def boom(*a, **k):
+        raise AssertionError("corpus collected to driver")
+
+    monkeypatch.setattr(sim, "_collect_matrix", boom)
+    corpus = synth.emb_dup_df(spark, SF_DIR)
+    got = {(r.vec_a, r.vec_b) for r in sim.embedding_near_dups(corpus, 0.95).collect()}
+    planted = {
+        (r.vec_id, r.vec_id + 1000000)
+        for r in corpus.filter("vec_id < 1000000 AND vec_id % 5 = 0").collect()
+    }
+    assert planted <= got  # cos==1 pairs share every band -> always found
+
+
+def test_embedding_neardup_broadcast_hint_path(spark):
+    """With a small corpus_rows hint the exact broadcast kernel runs and
+    agrees with the bucketed default on the fixture."""
+    corpus = synth.emb_dup_df(spark, SF_DIR)
+    bucketed = {(r.vec_a, r.vec_b) for r in sim.embedding_near_dups(corpus, 0.95).collect()}
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_near_dups(corpus, 0.95, corpus_rows=600).collect()
+    }
+    assert bucketed == exact
+
+
+def test_embedding_neardup_bucketed_recall_near_threshold(spark):
+    """Recall of the banded-LSH path on pairs NEAR the threshold (the hard
+    case, unlike the cos==1 planted fixture): noisy copies at cos ~0.96-0.99
+    vs a numpy brute-force truth."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((150, 32))
+    noisy = base + 0.15 * rng.standard_normal((150, 32))  # cos ~ 0.97-0.99
+    mat = np.vstack([base, noisy])
+    ids = np.arange(300)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    s = n @ n.T
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(*np.nonzero((s > 0.95) & (ids[:, None] < ids[None, :])))
+    }
+    assert len(truth) >= 100  # the fixture actually has near-threshold pairs
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.vec_a, r.vec_b) for r in sim.embedding_near_dups(df, 0.95).collect()}
+    assert got <= truth  # precision 1.0: exact cosine filter inside buckets
+    recall = len(got & truth) / len(truth)
+    assert recall > 0.9, f"bucketed recall {recall}"
