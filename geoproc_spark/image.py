@@ -65,10 +65,30 @@ class Image:
     # ------------------------------------------------------------- sources
     @classmethod
     def load(cls, spark: SparkSession, path: str, n_bands: int | None = None) -> "Image":
-        """Open a tile table (parquet) — schema read from the files, bands
+        """Open a tile table (parquet) — schema read from metadata, bands
         named B1..Bn like the reference loader
-        (/root/reference/geoproc/server/image.py:95)."""
+        (/root/reference/geoproc/server/image.py:95). The reference reads
+        band count/zooms from the raster profile without touching pixels;
+        here `export` writes an `_image_meta.json` sidecar and `load` reads
+        it — the `.first()` pixel probe runs only for foreign tables with
+        no sidecar."""
+        import json
+        import os
+
         df = spark.read.parquet(path)
+        meta_path = os.path.join(path, "_image_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            nb = n_bands or m["n_bands"]
+            return cls(
+                df.select(*TILE_KEY, "data", "mask"),
+                [f"B{i+1}" for i in range(nb)],
+                "float64",
+                m["n_px"],
+                min_zoom=m.get("min_zoom"),
+                max_zoom=m.get("max_zoom"),
+            )
         first = df.select(F.size(F.col("data")).alias("nb"), F.size(F.col("data")[0]).alias("np")).first()
         nb = n_bands or first["nb"]
         return cls(df.select(*TILE_KEY, "data", "mask"), [f"B{i+1}" for i in range(nb)], "float64", first["np"])
@@ -299,8 +319,24 @@ class Image:
         (/root/reference/geoproc/server/image.py:162-241, WINDOW_SIZE at
         :32). Window grid -> partition grid; deterministic write order via
         range partitioning on the tile key."""
+        import json
+        import os
+
         out = self.df.repartitionByRange(*TILE_KEY).sortWithinPartitions(*TILE_KEY)
         writer = out.write.mode("overwrite").option("maxRecordsPerFile", rows_per_file)
         if partition_zooms:
             writer = writer.partitionBy("z")
         writer.parquet(path)
+        # metadata sidecar: load() reads schema without a pixel probe (the
+        # reference reads the raster profile, server/image.py:441-443)
+        with open(os.path.join(path, "_image_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_bands": self.n_bands,
+                    "n_px": self.n_px,
+                    "band_names": self.band_names,
+                    "min_zoom": self.min_zoom,
+                    "max_zoom": self.max_zoom,
+                },
+                fh,
+            )

@@ -93,8 +93,14 @@ def lsh_candidate_pairs(
     (and the pushed non-empty filter recomputes the shingle HOF again) —
     profiled at ~4x the work. At warehouse scale this persist is a stage
     boundary: signatures land in a table once, the pair join scans it.
+    Repeated calls in one session hold at most ONE cached copy
+    (_cache.swap_cache releases the previous call's).
     """
-    bands = lsh_bands(minhash_signatures(docs, perms), len(perms), rows_per_band).persist()
+    from ._cache import swap_cache
+
+    bands = swap_cache(
+        "lsh_bands", lsh_bands(minhash_signatures(docs, perms), len(perms), rows_per_band)
+    )
     b1 = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )

@@ -100,13 +100,26 @@ def knn_join(
     pages: DataFrame,
     zoom: int = DEFAULT_KNN_ZOOM,
     max_rounds: int = 12,
+    n_pages: int | None = None,
+    k_max: int | None = None,
 ) -> DataFrame:
     """Exact kNN: queries(qid, qlat_s, qlon_s, k) x pages(page_id, lat_s, lon_s)
-    -> (qid, page_id, rank)."""
-    pages_c = _pages_with_cell(
-        pages.select("page_id", "lat_s", "lon_s").filter(F.col("lat_s").isNotNull()),
-        zoom,
-    ).persist()
+    -> (qid, page_id, rank).
+
+    n_pages / k_max: density-seed hints. At 100 TB a count() is a full-scan
+    job before any useful work — pass the row count from the table-format
+    manifest (tableformat.read_manifest(path)["total_rows"]); the count
+    runs only as a fallback when no hint is given. k_max is a one-row agg
+    on the (small) query side, cheap but also hintable."""
+    from ._cache import swap_cache
+
+    pages_c = swap_cache(
+        "knn_pages_cell",
+        _pages_with_cell(
+            pages.select("page_id", "lat_s", "lon_s").filter(F.col("lat_s").isNotNull()),
+            zoom,
+        ),
+    )
 
     # Phase 1: ring expansion until every query holds >= k candidates.
     # Initial radius from corpus density (uniform estimate, 3x safety):
@@ -115,8 +128,9 @@ def knn_join(
     # rounds (each round is a full Spark job).
     import math
 
-    n_pages = pages_c.count()
-    kmax = queries.agg(F.max("k")).first()[0] or 1
+    if n_pages is None:
+        n_pages = pages_c.count()
+    kmax = k_max if k_max is not None else queries.agg(F.max("k")).first()[0] or 1
     density = n_pages / float(4**zoom)
     cells_needed = max(9.0, 3.0 * kmax / max(density, 1e-12))
     radius = min(1 << zoom, max(1, math.ceil((math.sqrt(cells_needed) - 1) / 2)))

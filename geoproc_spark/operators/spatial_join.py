@@ -151,7 +151,12 @@ def spatial_join(
 
     if salt_buckets and salt_buckets > 1:
         # Page side picks one salt; polygon side replicated over all salts.
-        pts = pts.withColumn("_salt", F.pmod(F.xxhash64(*pts.columns[:1]), F.lit(salt_buckets)))
+        # Salt on a hash of ALL point columns: hashing only the first column
+        # silently degrades to a constant salt when a caller's leading column
+        # is low-cardinality (e.g. a lat passed first).
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in pts.columns]), F.lit(salt_buckets))
+        )
         poly_cells = poly_cells.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(salt_buckets - 1).cast("bigint")))
         )

@@ -230,18 +230,35 @@ FROM t GROUP BY xt, yt
 """
 
 
+_CKPT_BASE: list[str] = []  # session-scoped; reused across invocations
+
+
+def _ckpt_base() -> str:
+    """One temp checkpoint dir per process, cleaned at exit — repeated
+    invocations resume from (not pile up next to) the previous run's
+    snapshots (ADVICE r01: mkdtemp-per-call leaked temp disk)."""
+    if not _CKPT_BASE:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="geoproc_ckpt_query_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CKPT_BASE.append(d)
+    return _CKPT_BASE[0]
+
+
 @query("geo_pipeline_checkpointed", _TILE_STATS_ORACLE)
 def geo_pipeline_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full resumable pipeline (plans/geo_run.py) end-to-end: every
     stage lands as a table-format snapshot with lineage metrics, and the
     final tile stats must equal the direct query's oracle exactly —
-    checkpointing is not allowed to change a single value."""
-    import tempfile
-
+    checkpointing is not allowed to change a single value. Within one
+    process the checkpoint dir is reused, so a second invocation exercises
+    the RESUME path (and must still match)."""
     from .plans import geo_run
 
-    base = tempfile.mkdtemp(prefix="geoproc_ckpt_query_")
-    out = geo_run.run_geo_pipeline(spark, sf_dir, "driver_check", base)
+    out = geo_run.run_geo_pipeline(spark, sf_dir, "driver_check", _ckpt_base())
     return out["tile_stats"]
 
 
@@ -350,6 +367,52 @@ def tile_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sums(s, "sum_s"), ["z", "x", "y"], "left_outer")
     )
     return out
+
+
+# ----------------------------------------------------------------- tile_render
+_RP = synth.tile_pixel_sql("t.x", "u.y", "r.i", 1)  # image A band B1 (salt 1)
+_RM = synth.tile_mask_sql("t.x", "u.y", "r.i")
+_TILE_RENDER_ORACLE = f"""
+WITH px AS (
+  SELECT t.x AS x, u.y AS y, CAST({_RP} AS DOUBLE) AS p, {_RM} AS m
+  FROM range(4) t(x), range(4) u(y), range({synth.TILE_PX}) r(i)
+)
+SELECT {synth.TILE_Z} AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       CAST(sum(CAST(floor((least(70.0, greatest(10.0, p)) - 10.0) / 60.0 * 255.0)
+                AS BIGINT)) AS BIGINT) AS sum_px,
+       CAST(sum((m * 153) % 256) AS BIGINT) AS sum_mask
+FROM px GROUP BY x, y
+"""
+
+
+@query("tile_render", _TILE_RENDER_ORACLE)
+def tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S5 tile-render path end-to-end (reference
+    geoproc/server/app.py:125-178): band select -> clamped linear rescale to
+    [0,255] -> opacity mask transform -> uint8 truncation cast — the exact
+    per-pixel chain behind GET /tiles/{{z}}/{{x}}/{{y}}.png, run over every
+    tile of the fixture image and checksummed per tile (the PNG byte
+    encode itself is out of engine scope; the uint8 plane IS the content).
+    """
+    from .image import Image
+    from .operators import algebra as A
+
+    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    r = a.select(["B1"]).rescale((10.0, 70.0)).with_opacity(0.4)
+    rendered = r.df.select(
+        "z", "x", "y", A.uint8_data(F.col("data"), 1).alias("data"), "mask"
+    )
+    return rendered.select(
+        "z",
+        "x",
+        "y",
+        F.aggregate(
+            F.col("data")[0], F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+        ).alias("sum_px"),
+        F.aggregate(
+            F.col("mask"), F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+        ).alias("sum_mask"),
+    )
 
 
 # ===================================================== training-data pipeline
