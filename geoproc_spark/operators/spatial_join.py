@@ -170,28 +170,96 @@ def spatial_join(
     return refined.drop("_cell", "_salt", "ring")
 
 
+def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate arange(s, s+c) for each (s, c) — vectorized, no Python
+    loop over ranges (the classic cumsum trick)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = starts[0]
+    cs = counts.cumsum()
+    out[cs[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return out.cumsum()
+
+
+class CellBboxIndex:
+    """Packed cell-keyed polygon index for the broadcast join.
+
+    Build (driver-side, once): every polygon bbox gets its covering cells
+    at `zoom`; the (cell, poly) pairs are sorted by cell into three flat
+    arrays — sorted unique cells, range starts, and poly indices — the
+    array-packed form of an R-tree leaf level keyed by grid cell. Probe
+    (per Arrow batch): point -> cell -> binary search -> candidate range,
+    all vectorized; the old (npoints x npolys) containment matrix is gone,
+    so cost is O(n log c + candidates) instead of O(n * m) per batch —
+    the difference between 15 polygons and 10^5.
+    """
+
+    def __init__(self, poly_rows: list[dict], zoom: int = DEFAULT_JOIN_ZOOM):
+        self.zoom = zoom
+        self.fids = np.array([p["feature_id"] for p in poly_rows], dtype=np.int64)
+        self.boxes = np.array(
+            [[p["minx"], p["miny"], p["maxx"], p["maxy"]] for p in poly_rows],
+            dtype=np.float64,
+        )
+        self.rings = [np.asarray(p["ring"], dtype=np.float64) for p in poly_rows]
+        covers = cells.covering_cells_np(
+            self.boxes[:, 0], self.boxes[:, 1], self.boxes[:, 2], self.boxes[:, 3], zoom
+        )
+        cell_keys = np.concatenate(covers) if covers else np.empty(0, dtype=np.int64)
+        poly_idx = np.repeat(
+            np.arange(len(poly_rows), dtype=np.int64),
+            [len(c) for c in covers],
+        )
+        order = np.argsort(cell_keys, kind="stable")
+        cell_sorted = cell_keys[order]
+        self.flat_poly = poly_idx[order]
+        uniq_mask = np.r_[True, cell_sorted[1:] != cell_sorted[:-1]]
+        self.uniq_cells = cell_sorted[uniq_mask]
+        self.starts = np.r_[np.flatnonzero(uniq_mask), len(cell_sorted)].astype(np.int64)
+
+    def candidates(self, lat: np.ndarray, lon: np.ndarray):
+        """(point_idx, poly_idx) candidate pairs whose cell matches AND
+        whose bbox strictly contains the point."""
+        ptc = cells.cell_id_np(lat, lon, self.zoom)
+        pos = np.searchsorted(self.uniq_cells, ptc)
+        ok = pos < len(self.uniq_cells)
+        ok[ok] &= self.uniq_cells[pos[ok]] == ptc[ok]
+        hit = np.flatnonzero(ok)
+        s = self.starts[pos[hit]]
+        e = self.starts[pos[hit] + 1]
+        counts = e - s
+        pi = np.repeat(hit, counts)
+        fi = self.flat_poly[_multi_arange(s, counts)]
+        b = self.boxes
+        keep = (
+            (lon[pi] > b[fi, 0])
+            & (lon[pi] < b[fi, 2])
+            & (lat[pi] > b[fi, 1])
+            & (lat[pi] < b[fi, 3])
+        )
+        return pi[keep], fi[keep]
+
+
 def broadcast_spatial_join(
     points: DataFrame,
     poly_rows: list[dict],
     lat_col: str = "lat",
     lon_col: str = "lon",
+    zoom: int = DEFAULT_JOIN_ZOOM,
 ) -> DataFrame:
-    """Broadcast bbox-index join (small polygon layers; no shuffle at all).
+    """Broadcast cell-index join (small-to-medium polygon layers; no shuffle).
 
-    `poly_rows` is the collected polygon layer (feature_id, ring, bbox).
-    A packed bbox table is broadcast; each Arrow batch of points is probed
-    vectorized: bbox containment matrix -> candidate pairs -> exact PIP.
+    `poly_rows` is the collected polygon layer (feature_id, ring, bbox). A
+    packed CellBboxIndex is broadcast; each Arrow batch of points probes it
+    via binary search (candidate pairs), then the exact ray-cast refines.
     The distributed analog of the reference evaluating a constant image per
     window (/root/reference/geoproc/server/image.py:120-139): the small side
     rides along to every partition.
     """
     spark = points.sparkSession
-    fids = np.array([p["feature_id"] for p in poly_rows], dtype=np.int64)
-    boxes = np.array(
-        [[p["minx"], p["miny"], p["maxx"], p["maxy"]] for p in poly_rows], dtype=np.float64
-    )
-    rings = [np.asarray(p["ring"], dtype=np.float64) for p in poly_rows]
-    bc = spark.sparkContext.broadcast((fids, boxes, rings))
+    bc = spark.sparkContext.broadcast(CellBboxIndex(poly_rows, zoom))
 
     out_schema = T.StructType(
         points.schema.fields + [T.StructField("feature_id", T.LongType())]
@@ -199,32 +267,29 @@ def broadcast_spatial_join(
     pt_cols = points.columns
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        f, b, r = bc.value
+        index = bc.value
         for pdf in batches:
             lon = pdf[lon_col].to_numpy(dtype=np.float64)
             lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            ok = ~(np.isnan(lon) | np.isnan(lat))
-            # bbox containment: (npoints, npolys) — strict interior
-            cand = (
-                ok[:, None]
-                & (lon[:, None] > b[None, :, 0])
-                & (lon[:, None] < b[None, :, 2])
-                & (lat[:, None] > b[None, :, 1])
-                & (lat[:, None] < b[None, :, 3])
-            )
-            pi, fi = np.nonzero(cand)
+            pi, fi = index.candidates(lat, lon)
             if len(pi) == 0:
                 yield pdf.iloc[:0].assign(feature_id=np.array([], dtype=np.int64))
                 continue
             keep = np.zeros(len(pi), dtype=bool)
-            for j in np.unique(fi):
-                sel = fi == j
-                keep[sel] = points_in_ring_np(lon[pi[sel]], lat[pi[sel]], r[j])
+            # group candidate pairs by polygon: one vectorized ray-cast per
+            # DISTINCT matched polygon over its candidate points
+            order = np.argsort(fi, kind="stable")
+            fo = fi[order]
+            bounds = np.r_[np.flatnonzero(np.r_[True, fo[1:] != fo[:-1]]), len(fo)]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                ii = order[a:b]
+                j = fi[ii[0]]
+                keep[ii] = points_in_ring_np(lon[pi[ii]], lat[pi[ii]], index.rings[j])
             pi, fi = pi[keep], fi[keep]
             out = pdf.iloc[pi][pt_cols].reset_index(drop=True)
-            out["feature_id"] = f[fi]
+            out["feature_id"] = index.fids[fi]
             yield out
 
-    # Null coords never match: filter early so isnan probe sees no NaNs from null
+    # Null coords never match: filter early so the cell probe sees no NaNs
     pts = points.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
     return pts.mapInPandas(probe, out_schema)

@@ -83,3 +83,101 @@ def test_join_partition_invariant(spark):
         map(tuple, sj.spatial_join(pts.repartition(16, "page_id"), poly).select("page_id", "feature_id").collect())
     )
     assert one == many
+
+
+def _random_boxes(n: int, seed: int = 11) -> list[dict]:
+    """n small random boxes as closed rings (the 10k-polygon fixture)."""
+    rng = np.random.default_rng(seed)
+    clat = rng.uniform(-60, 60, n)
+    clon = rng.uniform(-170, 170, n)
+    half = rng.uniform(0.01, 0.2, n)
+    out = []
+    for i in range(n):
+        minx, maxx = float(clon[i] - half[i]), float(clon[i] + half[i])
+        miny, maxy = float(clat[i] - half[i]), float(clat[i] + half[i])
+        out.append(
+            {
+                "layer_id": "rand",
+                "feature_id": i,
+                "ring": [minx, miny, maxx, miny, maxx, maxy, minx, maxy, minx, miny],
+                "minx": minx,
+                "miny": miny,
+                "maxx": maxx,
+                "maxy": maxy,
+            }
+        )
+    return out
+
+
+def test_cell_index_candidates_vs_dense_matrix():
+    """The packed CellBboxIndex finds exactly the pairs the old dense
+    (npoints x npolys) bbox matrix found — on 2k polys x 5k points."""
+    polys = _random_boxes(2000)
+    idx = sj.CellBboxIndex(polys, zoom=8)
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-61, 61, 5000)
+    lon = rng.uniform(-171, 171, 5000)
+    pi, fi = idx.candidates(lat, lon)
+    got = set(zip(pi.tolist(), fi.tolist()))
+    b = idx.boxes
+    dense = (
+        (lon[:, None] > b[None, :, 0])
+        & (lon[:, None] < b[None, :, 2])
+        & (lat[:, None] > b[None, :, 1])
+        & (lat[:, None] < b[None, :, 3])
+    )
+    want = set(zip(*[a.tolist() for a in np.nonzero(dense)]))
+    assert got == want and len(want) > 0
+
+
+def test_broadcast_join_10k_polygons(spark):
+    """Scale fixture: 10k polygons through the broadcast cell-index join,
+    results equal the shuffle-based covering-cell join, within time budget
+    (the old dense-matrix probe was O(n*m) per batch)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    polys = _random_boxes(10_000)
+    schema = T.StructType(
+        [
+            T.StructField("layer_id", T.StringType()),
+            T.StructField("feature_id", T.LongType()),
+            T.StructField("ring", T.ArrayType(T.DoubleType())),
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+        ]
+    )
+    poly_df = spark.createDataFrame(polys, schema)
+    rng = np.random.default_rng(5)
+    n_pts = 50_000
+    pts = spark.createDataFrame(
+        [
+            (int(i), float(la), float(lo))
+            for i, (la, lo) in enumerate(
+                zip(rng.uniform(-61, 61, n_pts), rng.uniform(-171, 171, n_pts))
+            )
+        ],
+        "page_id long, lat double, lon double",
+    ).repartition(8)
+
+    t0 = time.time()
+    bcast = sorted(
+        map(
+            tuple,
+            sj.broadcast_spatial_join(pts, polys)
+            .select("page_id", "feature_id")
+            .collect(),
+        )
+    )
+    dt = time.time() - t0
+    shuffle = sorted(
+        map(
+            tuple,
+            sj.spatial_join(pts, poly_df).select("page_id", "feature_id").collect(),
+        )
+    )
+    assert bcast == shuffle and len(bcast) > 0
+    assert dt < 60, f"broadcast join took {dt:.1f}s on 10k polys x 50k points"
