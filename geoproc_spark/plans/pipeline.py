@@ -58,9 +58,18 @@ class Pipeline:
         metrics_rows = []
         for st in stages:
             sdir = self._stage_dir(st.name)
+            # input lineage: rows consumed = parent snapshots' row counts,
+            # straight from the manifests (north_rule: per-partition lineage
+            # + row-count metrics; zero extra Spark jobs)
+            input_rows = sum(
+                (tf.read_manifest(self._stage_dir(k)) or {}).get("total_rows", 0)
+                for k in st.inputs
+            )
             if not force and tf.table_exists(sdir):
                 outputs[st.name] = tf.read_table(spark, sdir)
-                metrics_rows.append(self._metric(st, tf.read_manifest(sdir), 0, resumed=True))
+                metrics_rows.append(
+                    self._metric(st, tf.read_manifest(sdir), 0, resumed=True, input_rows=input_rows)
+                )
                 continue
             t0 = time.time()
             df = st.fn(spark, {k: outputs[k] for k in st.inputs})
@@ -72,17 +81,22 @@ class Pipeline:
             )
             wall_ms = int((time.time() - t0) * 1000)
             outputs[st.name] = tf.read_table(spark, sdir)
-            metrics_rows.append(self._metric(st, manifest, wall_ms, resumed=False))
+            metrics_rows.append(
+                self._metric(st, manifest, wall_ms, resumed=False, input_rows=input_rows)
+            )
         self._write_metrics(spark, metrics_rows)
         return outputs
 
-    def _metric(self, st: Stage, manifest: dict, wall_ms: int, resumed: bool) -> dict:
+    def _metric(
+        self, st: Stage, manifest: dict, wall_ms: int, resumed: bool, input_rows: int = 0
+    ) -> dict:
         return {
             "run_id": self.run_id,
             "stage": st.name,
             "inputs": st.inputs,
             "resumed": resumed,
             "wall_ms": wall_ms,
+            "input_rows": input_rows,
             "output_rows": manifest["total_rows"],
             "n_files": len(manifest["files"]),
             "files": [
@@ -113,6 +127,7 @@ class Pipeline:
                             r["stage"],
                             r["resumed"],
                             i,
+                            r.get("input_rows", 0),
                             f["rows"],
                             f["bytes"],
                             r["wall_ms"],
@@ -122,5 +137,5 @@ class Pipeline:
         return spark.createDataFrame(
             flat,
             "run_id string, stage string, resumed boolean, partition_id int, "
-            "output_rows long, bytes long, wall_ms long, created_ms long",
+            "input_rows long, output_rows long, bytes long, wall_ms long, created_ms long",
         )

@@ -1,0 +1,39 @@
+"""Bucketed (cell-prefix co-located) table layout — the shuffle-free join.
+
+SURVEY §4.2 / north_rule: the pages table is partitioned by cell prefix so
+joins and aggregations keyed on the cell need no Exchange. Plain Hive-style
+directory partitioning gives partition PRUNING but no co-location guarantee
+Catalyst can exploit; Spark's bucketed tables (`bucketBy` + saveAsTable) do:
+a scan of a table bucketed on `cell_p` reports HashPartitioning(cell_p), so
+a groupBy(cell_p) or a join with an equally-bucketed table plans with ZERO
+Exchange on that side. This is the single-box stand-in for Iceberg's
+`bucket(N, cell_p)` partition transform + storage-partitioned joins — the
+call sites are identical shape (write with a bucket spec, read by name).
+
+At 100 TB: bucket count is cluster-width-sized (e.g. 4096), the cell prefix
+is coarse enough that every polygon covering-cell set maps into few
+buckets, and the expensive pages side never moves — only the small polygon
+side shuffles into place (or broadcasts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize `df` as a bucketed managed table (overwrites)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

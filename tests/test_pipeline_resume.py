@@ -102,3 +102,33 @@ def test_geo_pipeline_end_to_end_resume_identical(spark, tmp_path):
     # ...and the partition column survives a time-travel read (basePath)
     tt = tf.read_table(spark, f"{base}/geo/extract", snapshot=mext["snapshot_id"])
     assert "cell_p" in tt.columns
+
+def test_metrics_record_input_rows_lineage(spark, tmp_path):
+    """north_rule lineage: each stage's recorded input_rows equals its
+    parent stages' output_rows — manifest-to-manifest, no extra jobs —
+    and survives the resume path."""
+    out = geo_run.run_geo_pipeline(spark, SF_DIR, "lin", str(tmp_path))
+    assert out  # pipeline ran
+    m = Pipeline("lin", str(tmp_path)).metrics(spark)
+    # metrics are per output FILE: stage totals = sum(file rows); input_rows
+    # is stage-level (repeated per file) -> max == the single value
+    agg = (
+        m.groupBy("stage")
+        .agg(F.max("input_rows").alias("inp"), F.sum("output_rows").alias("out"))
+        .collect()
+    )
+    rows = {r["stage"]: r for r in agg}
+    assert rows["pages"]["inp"] == 0  # source stage
+    assert rows["extract"]["inp"] == rows["pages"]["out"]
+    assert rows["pip_join"]["inp"] == rows["extract"]["out"]
+    assert rows["tile_stats"]["inp"] == rows["extract"]["out"]
+
+    # resumed rerun records the same lineage
+    out2 = geo_run.run_geo_pipeline(spark, SF_DIR, "lin", str(tmp_path))
+    assert out2
+    m2 = Pipeline("lin", str(tmp_path)).metrics(spark)
+    resumed = {
+        r["stage"]: r
+        for r in m2.filter("resumed").select("stage", "input_rows").distinct().collect()
+    }
+    assert resumed["pip_join"]["input_rows"] == rows["extract"]["out"]

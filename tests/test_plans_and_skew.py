@@ -109,3 +109,50 @@ def test_salting_balances_hot_cells(spark):
     plain_n = sj.spatial_join(pts, poly).count()
     salted_n = sj.spatial_join(pts, poly, salt_buckets=n_salt).count()
     assert plain_n == salted_n
+
+def test_bucketed_join_no_exchange_on_pages_side(spark, tmp_path):
+    """SURVEY §4.2 storage-partitioned join claim, plan-asserted: pages
+    bucketed on cell_p join/aggregate with NO Exchange on the pages side —
+    the big side never moves; only the (small) other side shuffles into
+    place. Stand-in for Iceberg bucket(N, cell_p) + storage-partitioned
+    joins at 100 TB."""
+    from geoproc_spark.sources import bucketed as bk
+
+    # (managed tables land in the session's default warehouse dir —
+    # spark.sql.warehouse.dir is static config; DROP TABLE cleans up)
+    pts = synth.pages_df(spark, SF_DIR).filter("has_geo = 1").select(
+        "page_id",
+        (F.col("lat_s") / 10000.0).alias("lat"),
+        (F.col("lon_s") / 10000.0).alias("lon"),
+    )
+    pts = pts.withColumn("cell", cells.cell_id_col(F.col("lat"), F.col("lon"), 12))
+    pts = pts.withColumn("cell_p", cells.parent_cell_col(F.col("cell"), 12, 3))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bk.write_bucketed(pts, "pages_bkt", ["cell_p"], n_buckets=8)
+        bk.write_bucketed(
+            pts.groupBy("cell_p").count().withColumnRenamed("count", "n"),
+            "cellagg_bkt",
+            ["cell_p"],
+            n_buckets=8,
+        )
+        t = bk.read_bucketed(spark, "pages_bkt")
+
+        # (a) aggregate on the bucket key: zero Exchange anywhere
+        agg_plan = _plan(t.groupBy("cell_p").agg(F.count("*").alias("n")))
+        assert "Exchange" not in agg_plan, agg_plan
+
+        # (b) bucketed-x-bucketed equi-join on the bucket key: zero Exchange.
+        # Disable auto-broadcast — at test scale Catalyst would otherwise
+        # broadcast the tiny side (also pages-shuffle-free, but then the
+        # planner disables bucketing and the co-location claim goes untested;
+        # at 100 TB neither side fits a broadcast).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        other = bk.read_bucketed(spark, "cellagg_bkt")
+        join_plan = _plan(t.join(other, "cell_p"))
+        assert "Exchange" not in join_plan, join_plan
+        assert "SortMergeJoin" in join_plan or "ShuffledHashJoin" in join_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS pages_bkt")
+        spark.sql("DROP TABLE IF EXISTS cellagg_bkt")
