@@ -113,6 +113,16 @@ def main() -> None:
     t2, t8, t32 = (results[c]["wall_sec"] for c in (2, 8, 32))
     eff_primary = (t2 / t8) / 4  # N=2 -> 4N=8: the pair the shared host can run cleanly
     eff_secondary = (t8 / t32) / 4
+    stage_eff = {}
+    for stage in results[2].get("stage_walls", {}):
+        w2 = results[2]["stage_walls"][stage]
+        w8 = results[8]["stage_walls"][stage]
+        w32 = results[32]["stage_walls"][stage]
+        stage_eff[stage] = {
+            "walls": {2: w2, 8: w8, 32: w32},
+            "eff_2_to_8": round((w2 / w8) / 4, 3) if w8 else None,
+            "eff_8_to_32": round((w8 / w32) / 4, 3) if w32 else None,
+        }
     summary = {
         "metric": "scaling efficiency local[2] -> local[8] (N -> 4N cores)",
         "value": round(eff_primary, 3),
@@ -124,6 +134,7 @@ def main() -> None:
         "pages": results[32]["pages"],
         "pages_per_sec": {c: results[c]["pages_per_sec"] for c in LEVELS},
         "tiles_per_sec": {c: results[c]["tiles_per_sec"] for c in LEVELS},
+        "stage_efficiency": stage_eff,
         "pass": eff_primary >= 0.8,
     }
     print(json.dumps(summary))
@@ -136,6 +147,11 @@ def write_baseline_md(results: dict, summary: dict) -> None:
         f"| local[{c}] | {results[c]['wall_sec']} | {results[c]['pages_per_sec']:,} "
         f"| {results[c]['tiles_per_sec']:,} | {results[c].get('all_walls')} |"
         for c in LEVELS
+    )
+    stage_rows = "\n".join(
+        f"| {stage} | {se['walls'][2]} | {se['walls'][8]} | {se['walls'][32]} "
+        f"| {se['eff_2_to_8']} | {se['eff_8_to_32']} |"
+        for stage, se in summary.get("stage_efficiency", {}).items()
     )
     md = f"""# BENCH/BASELINE — measured numbers
 
@@ -154,6 +170,21 @@ executor owning N cores), min over repeats.
 
 **Scaling efficiency (T2/T8)/4 = {summary["value"]}** (N -> 4N cores; requirement >= 0.8 -> {"PASS" if summary["pass"] else "FAIL"})
 Secondary pair (T8/T32)/4 = {summary["eff_8_to_32"]}.
+
+## Per-stage breakdown (engine vs host)
+
+Sequential per-stage walls inside each timed JVM (join/tiles run from a
+persisted extract so each stage's wall is its own work), from the min-wall
+run per level:
+
+| stage | local[2] (s) | local[8] (s) | local[32] (s) | eff 2->8 | eff 8->32 |
+|---|---|---|---|---|---|
+{stage_rows}
+
+Reading: a stage whose 2->8 efficiency is high but whose 8->32 efficiency
+collapses to the measured host ceiling (~0.79 max on this shared box at
+32-wide, see below) is host-bound, not engine-bound; a stage whose 2->8
+efficiency is ALSO low has a real serial/shuffle bottleneck to fix.
 
 ## Why N=2 -> 4N=8 is the honest pair on this sandbox
 

@@ -149,6 +149,33 @@ def main() -> None:
     snap1 = cpu_snap()
     n_pages = pages.count()
     wall = time.time() - t0
+
+    # ---- per-stage breakdown (sequential, same JVM): isolates which stage
+    # scales and which hits the host ceiling. Stage inputs for join/tiles
+    # come from a persisted extract so each stage's wall is ITS OWN work,
+    # not a re-run of upstream.
+    stage_walls = {}
+    s0 = time.time()
+    extracted().write.format("noop").mode("overwrite").save()
+    stage_walls["extract"] = round(time.time() - s0, 2)
+
+    ext = extracted().persist()
+    ext.count()  # materialize, untimed for the stage walls below
+    s0 = time.time()
+    sj.spatial_join(ext, sj.polygons_df(spark)).select(
+        "page_id", "feature_id"
+    ).write.format("noop").mode("overwrite").save()
+    stage_walls["pip_join"] = round(time.time() - s0, 2)
+    s0 = time.time()
+    stats_in = ext.select(
+        "page_id",
+        F.round(F.col("lat") * 10000).cast("bigint").alias("lat_s"),
+        F.round(F.col("lon") * 10000).cast("bigint").alias("lon_s"),
+        (F.col("page_id") % 100).alias("m100"),
+    )
+    tiles_op.tile_stats(stats_in, 8, measure_col="m100").count()
+    stage_walls["tile_stats"] = round(time.time() - s0, 2)
+    ext.unpersist()
     d = [b - a for a, b in zip(snap0, snap1)]
     hz = os.sysconf("SC_CLK_TCK")
     cpu_acct = {
@@ -169,6 +196,7 @@ def main() -> None:
                 "tiles_per_sec": round(n_tiles / wall, 2),
                 "join_pipeline_sec": round(t1 - t0, 2),
                 "tiles_pipeline_sec": round(t2 - t1, 2),
+                "stage_walls": stage_walls,
                 "sf_dir": args.sf_dir,
                 **cpu_acct,
             }

@@ -96,7 +96,17 @@ def main() -> None:
         F.round(F.col("lat") * 10000).cast("bigint").alias("lat_s"),
         F.round(F.col("lon") * 10000).cast("bigint").alias("lon_s"),
     )
-    materialize(knn_op.knn_join(queries_df, rep_pages))
+    # row-count hint from parquet footers (the manifest path at scale) —
+    # saves knn_join its density-seed count() job
+    import pyarrow.parquet as pq
+
+    n_pts = sum(
+        pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+        for dp, _d, fs in os.walk(f"{work}/pts")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    materialize(knn_op.knn_join(queries_df, rep_pages, n_pages=n_pts, k_max=5))
     timings["geo_knn"] = round(time.time() - t0, 2)
     shutil.rmtree(work, ignore_errors=True)
 
@@ -108,6 +118,8 @@ def main() -> None:
         "embedding_neardup",
         "ann_cosine_topk",
         "tile_algebra",
+        "tile_render",
+        "geo_extract_html",
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",

@@ -128,6 +128,85 @@ def parent_cell_col(cell: Column, from_zoom: int, to_zoom: int) -> Column:
     )
 
 
+# --------------------------------------------------- CRS transforms (F9/F5)
+# The only CRS pair the engine needs (SURVEY §2.3 F9): WGS84 lon/lat degrees
+# <-> Web-Mercator meters (EPSG:3857), closed form. transform_bounds mirrors
+# rasterio.warp.transform_bounds(densify_pts=21) as used by the reference's
+# bounds_union / export grid (geoproc/server/image.py:51,184,204,346,359).
+
+_R = 6378137.0
+
+
+def lonlat_to_mercator_np(lon: np.ndarray, lat: np.ndarray):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    x = np.radians(lon) * _R
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * _R
+    return x, y
+
+
+def mercator_to_lonlat_np(x: np.ndarray, y: np.ndarray):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def transform_bounds(
+    bounds: tuple[float, float, float, float],
+    src: str = "epsg:4326",
+    dst: str = "epsg:3857",
+    densify_pts: int = 21,
+) -> tuple[float, float, float, float]:
+    """Reproject a bbox between the two supported CRSs by densifying each
+    edge with `densify_pts` samples and taking the envelope — the
+    rasterio.warp.transform_bounds contract the reference leans on. For
+    this CRS pair the transform is separable (x from lon only, y from lat
+    only) so densification cannot tighten the envelope, but the edge-sample
+    protocol is kept for drop-in parity."""
+    pair = (src.lower(), dst.lower())
+    minx, miny, maxx, maxy = bounds
+    t = np.linspace(0.0, 1.0, max(2, densify_pts))
+    xs = np.concatenate([minx + (maxx - minx) * t, np.full_like(t, minx), np.full_like(t, maxx)])
+    ys = np.concatenate([np.full_like(t, miny), miny + (maxy - miny) * t, np.full_like(t, maxy)])
+    # remaining edges (top edge x-sweep, right edge y-sweep)
+    xs = np.concatenate([xs, minx + (maxx - minx) * t])
+    ys = np.concatenate([ys, np.full_like(t, maxy)])
+    if pair == ("epsg:4326", "epsg:3857"):
+        px, py = lonlat_to_mercator_np(xs, ys)
+    elif pair == ("epsg:3857", "epsg:4326"):
+        px, py = mercator_to_lonlat_np(xs, ys)
+    elif src.lower() == dst.lower():
+        return bounds
+    else:
+        raise ValueError(f"unsupported CRS pair {pair} (engine is WGS84<->WebMercator)")
+    return float(px.min()), float(py.min()), float(px.max()), float(py.max())
+
+
+def bounds_union(
+    a: tuple[float, float, float, float],
+    b: tuple[float, float, float, float],
+    a_crs: str = "epsg:4326",
+    b_crs: str = "epsg:4326",
+) -> tuple[tuple[float, float, float, float], str]:
+    """Union of two bboxes with CRS reconciliation — b is reprojected into
+    a's CRS first (F5, reference geoproc/server/image.py:526-539). Returns
+    (bounds, crs)."""
+    if a is None:
+        return b, b_crs
+    if b is None:
+        return a, a_crs
+    if a_crs.lower() != b_crs.lower():
+        b = transform_bounds(b, src=b_crs, dst=a_crs)
+    return (
+        min(a[0], b[0]),
+        min(a[1], b[1]),
+        max(a[2], b[2]),
+        max(a[3], b[3]),
+    ), a_crs
+
+
 # --------------------------------------------------------- zoom derivation
 # F10 (reference geoproc/server/image.py:467-515): min_zoom comes from the
 # maximum theoretical overview level of the raster, max_zoom from matching

@@ -260,6 +260,20 @@ class Image:
         )
         return Image(df, self.band_names, "float64", self.n_px)
 
+    def with_gain_bias_gamma(self, gain: float = 1.0, bias: float = 0.0, gamma: float = 1.0) -> "Image":
+        """F8 vis params — declared by the reference's VisualizationParams
+        (geoproc/models.py:11-13) but never applied by its server; see
+        algebra.gain_bias_gamma_data for the semantics implemented here."""
+        df = self.df.select(
+            *TILE_KEY,
+            A.gain_bias_gamma_data(F.col("data"), self.n_bands, gain, bias, gamma).alias("data"),
+            "mask",
+        )
+        return Image(
+            df, self.band_names, "float64", self.n_px,
+            min_zoom=self.min_zoom, max_zoom=self.max_zoom,
+        )
+
     def with_opacity(self, opacity: float) -> "Image":
         df = self.df.select(
             *TILE_KEY, "data", A.opacity_mask(F.col("mask"), opacity).alias("mask")
@@ -318,7 +332,16 @@ class Image:
         analog of the reference's serial 4096^2-window COG export loop
         (/root/reference/geoproc/server/image.py:162-241, WINDOW_SIZE at
         :32). Window grid -> partition grid; deterministic write order via
-        range partitioning on the tile key."""
+        range partitioning on the tile key.
+
+        P5 guard: a boundless image (constant) has no tile set to export —
+        analyzer-time error before any job, like the reference's
+        bounds-or-explicit-bounds check (server/image.py:171-178)."""
+        if self.df is None:
+            raise ValueError(
+                "cannot export a boundless (constant) image: no tile bounds "
+                "(reference geoproc/server/image.py:171-178)"
+            )
         import json
         import os
 

@@ -150,6 +150,26 @@ def opacity_mask(mask: Column, opacity: float) -> Column:
     return F.transform(mask, lambda m: (m * F.lit(k)) % F.lit(256))
 
 
+def gain_bias_gamma_data(
+    a: Column, n_bands: int, gain: float = 1.0, bias: float = 0.0, gamma: float = 1.0
+) -> Column:
+    """F8: gain/bias/gamma are DECLARED in the reference's
+    VisualizationParams (/root/reference/geoproc/models.py:11-13) but never
+    consumed by its server — implemented here with the standard vis
+    semantics (Earth-Engine style): out = clamp01(gain*x/255 + bias) ^
+    (1/gamma) * 255, applied after rescale. Kept out of the pinned-parity
+    surface; documented as an extension the reference's API promises."""
+    g, b = F.lit(float(gain)), F.lit(float(bias))
+    inv_gamma = F.lit(1.0 / float(gamma))
+    one, zero = F.lit(1.0), F.lit(0.0)
+
+    def fn(x):
+        v = F.greatest(zero, F.least(one, g * x / F.lit(255.0) + b))
+        return F.pow(v, inv_gamma) * F.lit(255.0)
+
+    return F.array(*[F.transform(a[i], fn) for i in range(n_bands)])
+
+
 def uint8_data(a: Column, n_bands: int) -> Column:
     """Final render cast: float [0,255] -> uint8 by truncation, numpy
     `.astype(np.uint8)` semantics after the clamped rescale (the PNG encode

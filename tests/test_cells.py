@@ -114,3 +114,34 @@ def test_min_max_zoom_golden():
     # a tiny raster has no overviews: min_zoom == max_zoom
     mn2, mx2 = cells.min_max_zoom(200, 200, 100.0)
     assert mn2 == mx2
+
+
+def test_mercator_roundtrip():
+    """F9 CRS transform: WGS84 <-> WebMercator closed form round-trips."""
+    x, y = cells.lonlat_to_mercator_np(LONS, LATS)
+    lon2, lat2 = cells.mercator_to_lonlat_np(x, y)
+    np.testing.assert_allclose(lon2, LONS, atol=1e-9)
+    np.testing.assert_allclose(lat2, LATS, atol=1e-9)
+    # pinned golden: equator/prime-meridian and the lat clamp edge
+    x0, y0 = cells.lonlat_to_mercator_np(np.array([0.0]), np.array([0.0]))
+    assert x0[0] == 0.0 and abs(y0[0]) < 1e-9
+    _, ytop = cells.lonlat_to_mercator_np(np.array([0.0]), np.array([cells.MAX_LAT]))
+    assert abs(ytop[0] - 20037508.342789244) < 1e-3  # half circumference
+
+
+def test_transform_bounds_and_union():
+    """F5 bounds union with CRS reconciliation (reference
+    server/image.py:526-539): b reprojected into a's CRS, then envelope."""
+    b4326 = (-10.0, -20.0, 30.0, 40.0)
+    b3857 = cells.transform_bounds(b4326, "epsg:4326", "epsg:3857")
+    back = cells.transform_bounds(b3857, "epsg:3857", "epsg:4326")
+    assert all(abs(p - q) < 1e-9 for p, q in zip(back, b4326))
+
+    a = (0.0, 0.0, 1113194.9079327357, 1118889.9748579597)  # ~ (0,0)-(10,10) deg
+    (u, crs) = cells.bounds_union(a, (5.0, 5.0, 20.0, 20.0), "epsg:3857", "epsg:4326")
+    assert crs == "epsg:3857"
+    assert u[0] == 0.0 and u[1] == 0.0
+    assert u[2] > a[2] and u[3] > a[3]  # grew to cover the 20-degree corner
+
+    with np.testing.assert_raises(ValueError):
+        cells.transform_bounds(b4326, "epsg:4326", "epsg:32630")

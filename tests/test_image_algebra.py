@@ -196,3 +196,20 @@ def test_export_roundtrip(spark, imgs, tmp_path):
     back = Image.load(spark, path)
     assert back.n_px == synth.TILE_PX
     _assert_tiles_equal(_collect(back), O.binary(operator.add, na, nb, 2, 1, synth.TILE_PX))
+
+
+def test_gain_bias_gamma_vs_numpy(imgs):
+    """F8 extension (reference declares these vis params but never applies
+    them): out = clamp01(gain*x/255 + bias)^(1/gamma) * 255."""
+    a, _, na, _ = imgs
+    img = a.rescale((0.0, 96.0)).with_gain_bias_gamma(gain=1.5, bias=0.05, gamma=2.2)
+    got = _collect(img)
+    resc = O.rescale(na, [(0.0, 96.0), (0.0, 96.0)])
+    want = {}
+    for k, (d, m) in resc.items():
+        v = np.clip(1.5 * d / 255.0 + 0.05, 0.0, 1.0)
+        want[k] = (np.power(v, 1.0 / 2.2) * 255.0, m)
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_allclose(got[k][0], want[k][0], rtol=1e-12)
+        np.testing.assert_array_equal(got[k][1], want[k][1])

@@ -82,6 +82,8 @@ def test_info_is_driver_side(img):
         "dtype": "float64",
         "n_px": synth.TILE_PX,
         "boundless": False,
+        "min_zoom": None,  # unknown until with_zoom_range derives it (F10)
+        "max_zoom": None,
     }
 
 
@@ -91,3 +93,14 @@ def test_chained_expression_stays_lazy(img, img_b):
     _assert_lazy_image(expr, ["B1", "B2"])
     # and it evaluates when asked
     assert expr.df.limit(1).count() == 1
+
+def test_boundless_export_guard(tmp_path):
+    """P5 (reference server/image.py:171-178): exporting a boundless
+    constant image raises before any job."""
+    import pytest
+
+    from geoproc_spark.image import Image
+
+    c = Image.constant(3.0, n_px=16)
+    with pytest.raises(ValueError, match="boundless"):
+        c.export(str(tmp_path / "nope"))
