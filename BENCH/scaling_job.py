@@ -78,9 +78,12 @@ def main() -> None:
     spark = build_session(args.cpus, f"geoproc-scaling-{args.cpus}")
 
     if args.prep:
+        # only the columns the timed job scans: synthesizing/writing the
+        # html BINARY column here would double corpus bytes for a column
+        # the pipeline never reads (Catalyst prunes it from the plan)
         synth.pages_df(
             spark, args.sf_dir, replicate=args.replicate, partitions=args.cpus * 4
-        ).write.mode("overwrite").parquet(args.corpus_dir)
+        ).select("page_id", "text").write.mode("overwrite").parquet(args.corpus_dir)
         os.sync()  # drain writeback before any timed run starts
         print(json.dumps({"prep": True, "corpus_dir": args.corpus_dir}))
         spark.stop()

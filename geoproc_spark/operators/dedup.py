@@ -84,7 +84,10 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, perms: list[tuple[int, int, int]], rows_per_band: int = 4
+    docs: DataFrame,
+    perms: list[tuple[int, int, int]],
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >= 1 band.
 
@@ -95,12 +98,27 @@ def lsh_candidate_pairs(
     boundary: signatures land in a table once, the pair join scans it.
     Repeated calls in one session hold at most ONE cached copy
     (_cache.swap_cache releases the previous call's).
+
+    max_bucket_size: the hot-bucket guard. A band bucket of b docs emits
+    O(b^2) pairs — one boilerplate bucket of 10^6 docs would emit 5*10^11
+    pairs and sink the job. Buckets larger than the cap are DROPPED from
+    pairing (standard MinHashLSH practice: near-identical boilerplate is
+    better handled by exact dedup upstream); docs in a dropped bucket still
+    pair through their other, smaller bands. None = no cap (the fixture
+    default — keeps oracle exactness; production sets ~10^3-10^4).
     """
     from ._cache import swap_cache
 
     bands = swap_cache(
         "lsh_bands", lsh_bands(minhash_signatures(docs, perms), len(perms), rows_per_band)
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        bands = bands.withColumn("_bsz", F.count("*").over(w)).filter(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
     b1 = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )

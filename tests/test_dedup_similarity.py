@@ -155,3 +155,20 @@ def test_embedding_neardup_bucketed_recall_near_threshold(spark):
     assert got <= truth  # precision 1.0: exact cosine filter inside buckets
     recall = len(got & truth) / len(truth)
     assert recall > 0.9, f"bucketed recall {recall}"
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops oversized (boilerplate) buckets from pairing:
+    with a cap of 1 every bucket is dropped -> zero pairs; with no cap the
+    planted pairs appear; a generous cap changes nothing on this corpus."""
+    docs = synth.docs_dup_df(spark, SF_DIR)
+    perms = synth.minhash_perms()
+    uncapped = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(docs, perms).collect()}
+    assert len(uncapped) > 0
+    generous = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(docs, perms, max_bucket_size=10_000).collect()
+    }
+    assert generous == uncapped
+    capped = dd.lsh_candidate_pairs(docs, perms, max_bucket_size=1).count()
+    assert capped == 0

@@ -88,3 +88,41 @@ def test_stream_equals_batch(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+def test_stateful_user_profile_equals_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: after the stream drains, the
+    LATEST state version per user equals the batch aggregate exactly —
+    and multiple versions exist, proving state persisted across
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from geoproc_spark import synth
+    from geoproc_spark.streaming import stateful
+    from tests.conftest import SF_DIR
+
+    synth.load_tables(spark, SF_DIR, ["events"])
+    ev = spark.table("events")
+    events_dir = str(tmp_path / "events")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    ev.repartition(4).write.mode("overwrite").parquet(events_dir)
+
+    got = stateful.user_profile_stream(
+        spark, events_dir, str(tmp_path / "ckpt"), out_table="profile_t1"
+    )
+    assert got.agg(F.max("version")).first()[0] >= 2  # state actually reused
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("version").desc())
+    latest = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "sum_cents", "max_cents")
+    )
+    batch = ev.withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    ).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("sum_cents"),
+        F.max("value_cents").alias("max_cents"),
+    )
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
