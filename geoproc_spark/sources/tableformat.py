@@ -140,3 +140,31 @@ def read_table(spark: SparkSession, path: str, snapshot: int | None = None) -> D
 
 def table_exists(path: str) -> bool:
     return current_snapshot_id(path) is not None
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+    """Delete data + metadata of all but the newest `keep_last` snapshots —
+    the Iceberg expire_snapshots maintenance job. The current snapshot is
+    always kept; returns the expired snapshot ids. Safe w.r.t. the commit
+    protocol: the version-hint is never touched, and expired snapshots are
+    removed metadata-first so a crash mid-expire leaves dangling data files
+    (harmless garbage) rather than a manifest pointing at deleted data."""
+    import shutil
+
+    cur = current_snapshot_id(path)
+    if cur is None:
+        return []
+    keep_last = max(1, keep_last)
+    expired = []
+    for snap_id in range(1, cur - keep_last + 1):
+        meta = os.path.join(_meta_dir(path), f"snap-{snap_id}.json")
+        if not os.path.exists(meta):
+            continue
+        with open(meta) as fh:
+            m = json.load(fh)
+        os.remove(meta)
+        base = os.path.join(path, m.get("base", "data"))
+        if os.path.realpath(base) != os.path.realpath(_data_dir(path)):
+            shutil.rmtree(base, ignore_errors=True)
+        expired.append(snap_id)
+    return expired

@@ -132,3 +132,25 @@ def test_metrics_record_input_rows_lineage(spark, tmp_path):
         for r in m2.filter("resumed").select("stage", "input_rows").distinct().collect()
     }
     assert resumed["pip_join"]["input_rows"] == rows["extract"]["out"]
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Iceberg-style maintenance: old snapshots' data+metadata go away, the
+    kept ones stay fully readable, the current pointer is untouched."""
+    import os
+
+    p = str(tmp_path / "t")
+    for n in (10, 20, 30):
+        tf.write_table(spark.range(n).selectExpr("id", "id % 3 AS k"), p, partition_by=["k"])
+    assert tf.current_snapshot_id(p) == 3
+
+    expired = tf.expire_snapshots(p, keep_last=2)
+    assert expired == [1]
+    assert tf.read_manifest(p, 1) is None
+    assert not os.path.exists(os.path.join(p, "data", "snap-1"))
+    # survivors fully readable, incl. time travel to snapshot 2
+    assert tf.read_table(spark, p).count() == 30
+    assert tf.read_table(spark, p, snapshot=2).count() == 20
+    # keep_last never expires the current snapshot
+    assert tf.expire_snapshots(p, keep_last=1) == [2]
+    assert tf.read_table(spark, p).count() == 30
