@@ -76,7 +76,13 @@ def main() -> None:
     tstats = tiles_op.tile_stats(stats_in, 8, measure_col="m100")
     materialize(joined)
     n_tiles = tstats.count()
-    n_pages = pages.count()
+    # corpus cardinality is exact by construction (docs x replicate): a
+    # count() here would re-run the whole synthesis subtree a second time
+    import pyarrow.parquet as pq
+
+    n_pages = (
+        pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows * REPLICATE
+    )
     dt = time.time() - t0
     timings["geo_pipeline"] = round(dt, 2)
     extras["pages"] = n_pages
