@@ -129,6 +129,8 @@ def main() -> None:
         "dedup_minhash_pairs",
         "dedup_simhash",
         "doc_fingerprint",
+        "dedup_components",
+        "corpus_quality_filter",
         "embedding_neardup",
         "ann_cosine_topk",
         "tile_algebra",

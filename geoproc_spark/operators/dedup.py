@@ -168,6 +168,57 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def connected_components(ids: DataFrame, pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """(doc_id, component) where component = min doc_id reachable through
+    the pair graph — the canonical-document assignment after near-dup
+    pairing (every doc appears; singletons map to themselves).
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the neighborhood minimum; stops when no
+    label changed. Rounds = graph diameter, which for near-dup clusters is
+    tiny (clusters are near-cliques); the label table is (doc_id, label)
+    only, so each round is one small shuffle join — the simple variant of
+    large-star/small-star CC, sufficient here and honest about its bound
+    (max_rounds guards pathological chains).
+    """
+    from ._cache import swap_cache
+
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
+    prev = None
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+        stable = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") != F.col("old"))
+            .isEmpty()  # also materializes new_labels' cache
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = labels = new_labels
+        if stable:
+            break
+    # hand the final (persisted) labels to the bounded registry: the next
+    # connected_components call releases it
+    return swap_cache("cc_labels", labels)
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs:
     (doc_a, doc_b, n_inter, n_union) — integer-exact, ratio left to the

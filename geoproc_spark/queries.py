@@ -504,6 +504,124 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_quality_filter",
+    """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS arr FROM documents),
+m AS (SELECT doc_id,
+             len(arr) AS n_tokens,
+             len(list_filter(arr, t -> list_contains(['the','a','of','and','to'], t))) AS n_stop,
+             list_max(list_transform(arr, t -> length(t))) AS max_token_len
+      FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n_tokens >= 10 AND max_token_len <= 20
+                  AND n_stop * 20 >= n_tokens THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN max_token_len > 20 THEN 'long_token'
+            WHEN n_stop * 20 < n_tokens THEN 'low_stopword'
+            ELSE 'ok' END AS reason
+FROM m
+""",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filtering with pinned integer-exact rules (min
+    tokens, max token length, stopword mass) and a first-failing-rule
+    reason code — the cleaning gate of a training-data pipeline, all JVM
+    expressions."""
+    synth.load_tables(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    m = TX.quality_metrics(F.col("text"))
+    n_tokens, n_stop, max_len = m["n_tokens"], m["n_stop"], m["max_token_len"]
+    keep = (
+        (n_tokens >= 10) & (max_len <= 20) & (n_stop * 20 >= n_tokens)
+    ).cast("int")
+    reason = (
+        F.when(n_tokens < 10, "too_short")
+        .when(max_len > 20, "long_token")
+        .when(n_stop * 20 < n_tokens, "low_stopword")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), keep.alias("keep"), reason.alias("reason")
+    )
+
+
+# The candidate-pair subquery shared by the components oracle (DuckDB
+# dialect, same pipeline as dedup_minhash_pairs' oracle).
+_CAND_PAIRS_DUCK = f"""
+sh0 AS (SELECT doc_id, unnest({TX.shingles_sql_duckdb("string_split(text, ' ')")}) AS g FROM docs),
+hh AS (SELECT doc_id, {TX.token_hash_sql("g")} % {synth.MINHASH_P} AS h32 FROM sh0),
+perms AS ({synth.minhash_perms_values_sql()}),
+mh AS (SELECT doc_id, pid, min((a * h32 + b) % {synth.MINHASH_P}) AS mh
+       FROM hh CROSS JOIN perms GROUP BY doc_id, pid),
+bands AS (SELECT doc_id, pid // 4 AS band_id,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pid) AS band_key
+          FROM mh GROUP BY doc_id, pid // 4),
+cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+         FROM bands b1 JOIN bands b2
+           ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+              AND b1.doc_id < b2.doc_id)
+"""
+
+_CC_PROP_DUCK = "\n".join(
+    f"""l{i + 1} AS (
+  SELECT l.doc_id, least(l.c, coalesce(min(n.c), l.c)) AS c
+  FROM l{i} l LEFT JOIN edges e ON e.dst = l.doc_id
+              LEFT JOIN l{i} n ON n.doc_id = e.src
+  GROUP BY l.doc_id, l.c
+),"""
+    for i in range(4)
+)
+
+_SH_DUCK = TX.shingles_sql_duckdb("string_split(text, ' ')")
+
+
+@query(
+    "dedup_components",
+    f"""
+WITH docs AS ({synth.DOCS_DUP_SQL}),
+{_CAND_PAIRS_DUCK.strip().rstrip(",")},
+shs AS (SELECT doc_id, {_SH_DUCK} AS sh FROM docs),
+ref AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN shs a ON a.doc_id = c.doc_a JOIN shs b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh)) * 5
+        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
+),
+ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM docs a JOIN docs b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+e0 AS (SELECT doc_a, doc_b FROM ref UNION SELECT doc_a, doc_b FROM ex),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM e0),
+l0 AS (SELECT doc_id, doc_id AS c FROM docs),
+{_CC_PROP_DUCK}
+fin AS (SELECT * FROM l4)
+SELECT doc_id, CAST(c AS BIGINT) AS component FROM fin
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end-to-end: exact-hash pairs + LSH candidates
+    refined by exact Jaccard (>= 0.8) -> connected components by iterative
+    min-label propagation -> canonical (min) doc id per component, one row
+    per document. The Spark path iterates to convergence (an ITERATIVE
+    algorithm — driver loop, each round one small label join); the oracle
+    unrolls 4 propagation rounds, >= the fixture graph's diameter."""
+    docs = synth.docs_dup_df(spark, sf_dir)
+    cand = dd.lsh_candidate_pairs(docs, synth.minhash_perms(), rows_per_band=4)
+    jac = dd.ngram_jaccard(docs, cand)
+    near = jac.filter(F.col("n_inter") * 5 >= F.col("n_union") * 4).select("doc_a", "doc_b")
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    exact = (
+        h.selectExpr("doc_id AS doc_a", "th")
+        .join(h.selectExpr("doc_id AS doc_b", "th"), "th")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    pairs = near.unionByName(exact).distinct()
+    return dd.connected_components(docs.select("doc_id"), pairs)
+
+
+@query(
     "text_quality",
     """
 WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS arr FROM documents)

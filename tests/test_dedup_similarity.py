@@ -172,3 +172,32 @@ def test_lsh_hot_bucket_cap(spark):
     assert generous == uncapped
     capped = dd.lsh_candidate_pairs(docs, perms, max_bucket_size=1).count()
     assert capped == 0
+
+
+def test_connected_components_structure(spark):
+    """Canonical assignment matches the planted duplicate structure:
+    d%35==0 -> {d, d+1e6, d+2e6} all canonicalized to d; singletons map to
+    themselves; components never span unrelated originals."""
+    from geoproc_spark import queries as Q
+
+    rows = {r.doc_id: r.component for r in Q.dedup_components(spark, SF_DIR).collect()}
+    docs = synth.docs_dup_df(spark, SF_DIR)
+    originals = [r.doc_id for r in docs.filter("doc_id < 1000000").collect()]
+    near_hit = near_all = 0
+    for d in originals:
+        if d % 7 == 0:
+            # exact dups share md5 -> ALWAYS in d's component
+            assert rows[d + 2000000] == rows[d]
+        if d % 5 == 0:
+            near_all += 1
+            near_hit += rows[d + 1000000] == rows[d]
+    # near dups go through LSH + jaccard-0.8 refine: recall < 1 by design
+    # (suffix mutation can drop a short doc below either gate)
+    assert near_hit / near_all > 0.85, f"near-dup component recall {near_hit}/{near_all}"
+    # canonical is the component MINIMUM (note: ORGANIC near-dups exist in
+    # the word-soup corpus — e.g. two originals sharing >=80% of shingles —
+    # so an original need not be its own canonical; planted structure and
+    # min-canonicality are the invariants)
+    assert all(c <= d for d, c in rows.items())
+    # and every canonical is itself canonical (labels are a fixpoint)
+    assert all(rows[c] == c for c in set(rows.values()))
