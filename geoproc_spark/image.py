@@ -280,6 +280,20 @@ class Image:
         )
         return Image(df, self.band_names, self.dtype, self.n_px)
 
+    def build_overview(self) -> "Image":
+        """One pyramid level up (z-1 parents from 2x2 children) — the
+        COG-overview build the reference's min_zoom derivation presumes
+        (geoproc/server/image.py:467-494). Nearest-neighbor top-left,
+        missing quadrants fully masked. Chain for deeper pyramids."""
+        from .operators import tiles as _tiles
+
+        df = _tiles.build_parent_tiles(self.df, self.n_bands, self.n_px)
+        return Image(
+            df, self.band_names, self.dtype, self.n_px,
+            min_zoom=None if self.min_zoom is None else max(0, self.min_zoom - 1),
+            max_zoom=self.max_zoom,
+        )
+
     # ------------------------------------------------------------- actions
     def statistics(self) -> DataFrame:
         """Per-tile per-band stats — implements the reference's empty stub

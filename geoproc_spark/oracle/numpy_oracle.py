@@ -62,6 +62,33 @@ def rescale(a: Tiles, ranges) -> Tiles:
     return out
 
 
+def build_overview(a: Tiles, n_bands: int, n_px: int) -> Tiles:
+    """Pyramid twin of operators/tiles.build_parent_tiles: nearest-neighbor
+    top-left 2x downsample, missing child quadrant = data 0 / mask 0."""
+    side = int(n_px**0.5)
+    half = side // 2
+    parents = {}
+    keys = {(z - 1, x // 2, y // 2) for (z, x, y) in a}
+    for pz, px_, py in keys:
+        data = np.zeros((n_bands, n_px))
+        mask = np.zeros(n_px, dtype=np.int64)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                child = a.get((pz + 1, 2 * px_ + dx, 2 * py + dy))
+                if child is None:
+                    continue
+                cd = child[0].reshape(n_bands, side, side)
+                cm = child[1].reshape(side, side)
+                sub_d = cd[:, ::2, ::2]  # (bands, half, half)
+                sub_m = cm[::2, ::2]
+                d2 = data.reshape(n_bands, side, side)
+                m2 = mask.reshape(side, side)
+                d2[:, dy * half : (dy + 1) * half, dx * half : (dx + 1) * half] = sub_d
+                m2[dy * half : (dy + 1) * half, dx * half : (dx + 1) * half] = sub_m
+        parents[(pz, px_, py)] = (data.reshape(n_bands, n_px), mask.reshape(n_px))
+    return parents
+
+
 def render_uint8(a: Tiles) -> Tiles:
     """PNG-encode dtype cast: float [0,255] -> uint8 truncation
     (/root/reference/geoproc/server/app.py:176-178 via rio-tiler render)."""

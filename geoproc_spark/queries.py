@@ -415,6 +415,45 @@ def tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- tile_pyramid
+_PYR_X, _PYR_Y, _PYR_I = "(2 * X.px + dx.v)", "(2 * Y.py + dy.v)", "(2 * r.r * 16 + 2 * c.c)"
+_TILE_PYRAMID_ORACLE = f"""
+WITH g AS (
+  SELECT X.px AS px, Y.py AS py,
+         CAST({synth.tile_pixel_sql(_PYR_X, _PYR_Y, _PYR_I, 1)} AS BIGINT) AS p0,
+         CAST({synth.tile_pixel_sql(_PYR_X, _PYR_Y, _PYR_I, 2)} AS BIGINT) AS p1,
+         CAST({synth.tile_mask_sql(_PYR_X, _PYR_Y, _PYR_I)} AS BIGINT) AS m
+  FROM range(2) X(px), range(2) Y(py), range(2) dx(v), range(2) dy(v),
+       range(8) r(r), range(8) c(c)
+)
+SELECT {synth.TILE_Z - 1} AS z, CAST(px AS INT) AS x, CAST(py AS INT) AS y,
+       CAST(sum(p0 + p1) AS BIGINT) AS sum_px,
+       CAST(sum(m) AS BIGINT) AS sum_mask
+FROM g GROUP BY px, py
+"""
+
+
+@query("tile_pyramid", _TILE_PYRAMID_ORACLE)
+def tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-pyramid (COG overview) build: z-1 parent tiles assembled from
+    2x2 children with pinned nearest-neighbor top-left downsample — the
+    overview level the reference's min_zoom derivation reads
+    (geoproc/server/image.py:467-494). Per-parent BIGINT checksums of the
+    assembled pixel planes + masks; the oracle recomputes from the
+    closed-form child pixel formula."""
+    from .image import Image
+
+    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    parent = a.build_overview()
+    return parent.df.select(
+        "z",
+        "x",
+        "y",
+        (_sum_px(F.col("data"), a.n_bands)).alias("sum_px"),
+        _mask_sum(F.col("mask")).alias("sum_mask"),
+    )
+
+
 # ===================================================== training-data pipeline
 from .functions import text as TX  # noqa: E402
 from .operators import dedup as dd  # noqa: E402

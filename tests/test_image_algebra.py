@@ -213,3 +213,26 @@ def test_gain_bias_gamma_vs_numpy(imgs):
     for k in want:
         np.testing.assert_allclose(got[k][0], want[k][0], rtol=1e-12)
         np.testing.assert_array_equal(got[k][1], want[k][1])
+
+
+def test_build_overview_vs_numpy(imgs):
+    """Pyramid level vs the numpy twin, incl. a MISSING child quadrant
+    (drop one child tile -> that parent quadrant is fully masked)."""
+    a, b, na, nb = imgs
+    got = _collect(a.build_overview())
+    want = O.build_overview(na, 2, synth.TILE_PX)
+    _assert_tiles_equal(got, want)
+    # two levels deep
+    got2 = _collect(a.build_overview().build_overview())
+    want2 = O.build_overview(want, 2, synth.TILE_PX)
+    _assert_tiles_equal(got2, want2)
+    # missing quadrant: drop child (3, 1, 1) from A
+    from pyspark.sql import functions as F
+
+    a_holed = Image.from_df(
+        a.df.filter(~((F.col("x") == 1) & (F.col("y") == 1))), 2, synth.TILE_PX
+    )
+    na_holed = {k: v for k, v in na.items() if k != (3, 1, 1)}
+    _assert_tiles_equal(
+        _collect(a_holed.build_overview()), O.build_overview(na_holed, 2, synth.TILE_PX)
+    )
