@@ -129,6 +129,34 @@ def multimodal_features_values_sql(n: int = 200) -> str:
     )
 
 
+def resize_values_sql(n: int = 200, out_w: int = 16, out_h: int = 16) -> str:
+    """Expected (asset_id, n_bytes, payload_md5) for multimodal_resize —
+    the nearest-neighbor resize recomputed in plain numpy/stdlib."""
+    import struct
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for aid in range(n):
+        kind = kinds[aid % 3]
+        if kind != "image":
+            continue
+        w, h, _f, body = mm._decode_fake("FAKE", mm.make_payload(aid, kind))
+        img = body.reshape(h, w)
+        yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+        xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+        payload = struct.pack(">III", out_w, out_h, 1) + img[yi][:, xi].tobytes()
+        rows.append(
+            f"({aid}, {len(payload)}, '{hashlib.md5(payload).hexdigest()}')"
+        )
+    return (
+        "SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(payload_md5 AS VARCHAR) AS payload_md5 "
+        f"FROM (VALUES {', '.join(rows)}) AS t(asset_id, n_bytes, payload_md5)"
+    )
+
+
 def frame_sample_values_sql(n: int = 200, every_k: int = 2) -> str:
     """Expected (asset_id, frame_idx, n_bytes, payload_md5) rows for the
     frame-sampling operator: the payload digests are computed by re-running

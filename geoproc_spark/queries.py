@@ -827,12 +827,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_resize")  # oracle: codec-twin digests -> VALUES (lazy)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (nearest-neighbor, binary in -> binary out) over the
+    asset corpus; digests keep the BINARY payload hash-comparable."""
+    from .operators import multimodal as mm
+
+    out = mm.resize_images(mm.assets_df(spark, 200), out_w=16, out_h=16)
+    return out.select(
+        "asset_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 from .oracle import values_oracle as VO  # noqa: E402
 
 ORACLE_SQL_LAZY["geo_s2_cells"] = VO.s2_cells_values_sql
 ORACLE_SQL_LAZY["ann_ivf_topk"] = VO.ivf_topk_values_sql
 ORACLE_SQL_LAZY["multimodal_features"] = VO.multimodal_features_values_sql
 ORACLE_SQL_LAZY["multimodal_frame_sample"] = VO.frame_sample_values_sql
+ORACLE_SQL_LAZY["multimodal_resize"] = VO.resize_values_sql
 
 
 # ============================================== relational / windowed analytics

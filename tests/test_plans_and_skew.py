@@ -156,3 +156,54 @@ def test_bucketed_join_no_exchange_on_pages_side(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS pages_bkt")
         spark.sql("DROP TABLE IF EXISTS cellagg_bkt")
+
+
+def test_dedup_signatures_zero_shuffle(spark):
+    """The zero-shuffle claim, plan-asserted: MinHash and SimHash signature
+    passes contain NO Exchange — pure projection over the scan."""
+    from geoproc_spark.operators import dedup as dd
+
+    docs = synth.pages_df(spark, SF_DIR).selectExpr("page_id AS doc_id", "text")
+    for df in (dd.minhash_signatures(docs, synth.minhash_perms()), dd.simhash(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_pyramid_single_shuffle(spark):
+    """Overview build = exactly one Exchange (children -> parent key);
+    the pixel gather itself is a projection."""
+    from geoproc_spark.image import Image
+
+    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    plan = _plan(a.build_overview().df)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_spatial_join_shuffle_path_without_broadcast(spark):
+    """broadcast_poly=False (continent-scale layers): the covering-cell
+    equi-join plans as a shuffle join, not a broadcast."""
+    pts = synth.pages_df(spark, SF_DIR).select(
+        "page_id",
+        (F.col("lat_s") / 10000.0).alias("lat"),
+        (F.col("lon_s") / 10000.0).alias("lon"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = sj.spatial_join(pts, sj.polygons_df(spark), broadcast_poly=False)
+        plan = _plan(j)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # and the result is still correct
+        got = sorted(map(tuple, j.select("page_id", "feature_id").collect()))
+        want = sorted(
+            map(
+                tuple,
+                sj.spatial_join(pts, sj.polygons_df(spark))
+                .select("page_id", "feature_id")
+                .collect(),
+            )
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
