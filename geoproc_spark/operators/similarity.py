@@ -219,6 +219,49 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding",
     return out.withColumn("list_id", F.explode("_lists")).drop("_lists")
 
 
+def write_ivf_index(
+    corpus: DataFrame, centroids: np.ndarray, path: str, emb_col: str = "embedding"
+) -> None:
+    """Materialize the inverted lists as a list_id-partitioned table: the
+    IVF index IS the table layout. A probe that filters on its nprobe list
+    ids then scans only those partitions (partition pruning — asserted in
+    tests), which is what makes IVF sublinear at rest: untouched lists are
+    untouched files."""
+    cb = ivf_assign(corpus.select("vec_id", F.col(emb_col).alias("emb_c")), centroids, "emb_c")
+    cb.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def probe_ivf_index(
+    spark, path: str, queries: DataFrame, centroids: np.ndarray, k: int = 5, nprobe: int = 4
+) -> DataFrame:
+    """ANN over a persisted IVF index table: assign queries to their nprobe
+    lists, scan ONLY those partitions, exact cosine re-rank within.
+
+    The probed list ids are collected (the query side is the small side by
+    definition, same as cosine_topk's broadcast) and pushed as a LITERAL
+    partition filter — static pruning the scan shows in PartitionFilters,
+    no reliance on runtime DPP."""
+    qb = ivf_assign(
+        queries.select(F.col("qid"), F.col("embedding").alias("emb_q")),
+        centroids,
+        "emb_q",
+        n_lists=nprobe,
+    ).persist()
+    probed = sorted({r["list_id"] for r in qb.select("list_id").distinct().collect()})
+    cb = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+    scored = (
+        cb.join(qb, "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosine_cols("emb_q", "emb_c").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

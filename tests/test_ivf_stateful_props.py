@@ -108,3 +108,23 @@ def test_s2_parent_always_contains_leaf(lat, lon, level):
     p = s2.parent(leaf, level)
     assert s2.contains(p, leaf).all()
     assert s2.cell_level(p)[0] == level
+
+def test_ivf_index_table_partition_pruning(spark, tmp_path):
+    """The IVF index as table layout: probing nprobe lists scans ONLY those
+    list_id partitions (static PartitionFilters), and results equal the
+    in-memory ivf_topk exactly."""
+    from geoproc_spark import synth
+    from tests.conftest import SF_DIR_MED
+
+    synth.load_tables(spark, SF_DIR_MED, ["embeddings"])
+    emb = spark.table("embeddings")
+    cents = sim.ivf_centroids(emb, n_lists=16)
+    path = str(tmp_path / "ivf_index")
+    sim.write_ivf_index(emb, cents, path)
+
+    queries = emb.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding")
+    got = sim.probe_ivf_index(spark, path, queries, cents, k=5, nprobe=4)
+    plan = got._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
+    want = sorted(map(tuple, sim.ivf_topk(queries, emb, cents, k=5, nprobe=4).collect()))
+    assert sorted(map(tuple, got.collect())) == want
