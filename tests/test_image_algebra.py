@@ -236,3 +236,15 @@ def test_build_overview_vs_numpy(imgs):
     _assert_tiles_equal(
         _collect(a_holed.build_overview()), O.build_overview(na_holed, 2, synth.TILE_PX)
     )
+
+
+def test_export_sidecar_roundtrip_metadata(spark, imgs, tmp_path):
+    """Export writes the metadata sidecar; load reads schema + zoom range
+    without a pixel-probe job (the reference reads the raster profile)."""
+    a, *_ = imgs
+    img = a.with_zoom_range(10000, 8000, 10.0)
+    path = str(tmp_path / "sidecar_out")
+    img.export(path)
+    back = Image.load(spark, path)
+    assert back.n_bands == 2 and back.n_px == synth.TILE_PX
+    assert (back.min_zoom, back.max_zoom) == (9, 14)
