@@ -1107,9 +1107,24 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------- flagship
+@query(
+    "geo_feature_counts",
+    f"""
+WITH pages AS ({synth.pages_sql()}),
+polyv AS ({synth.polygons_values_sql()}),
+j AS (
+  SELECT p.page_id, CAST(v.feature_id AS BIGINT) AS feature_id
+  FROM pages p JOIN polyv v
+    ON abs(p.lat_s - v.clat) < v.half AND abs(p.lon_s - v.clon) < v.half
+  WHERE p.has_geo = 1
+)
+SELECT feature_id, count(*) AS n_pages FROM j GROUP BY feature_id
+""",
+)
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pages-per-polygon-feature counts — the §7 minimum end-to-end slice:
-    scan -> extract (Arrow UDF) -> cell encode -> covering-cell join -> PIP
-    refine -> aggregate."""
+    """Pages-per-polygon-feature counts (zonal aggregation) — the §7
+    minimum end-to-end slice and the driver's entry(): scan -> extract
+    (Arrow UDF) -> cell encode -> covering-cell join -> PIP refine ->
+    per-feature aggregate."""
     joined = geo_pip_join(spark, sf_dir)
     return joined.groupBy("feature_id").agg(F.count("*").alias("n_pages"))
