@@ -645,19 +645,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document. The Spark path iterates to convergence (an ITERATIVE
     algorithm — driver loop, each round one small label join); the oracle
     unrolls 4 propagation rounds, >= the fixture graph's diameter."""
+    from .operators._cache import swap_cache
+    from .functions import text as _TX
+
     docs = synth.docs_dup_df(spark, sf_dir)
-    cand = dd.lsh_candidate_pairs(docs, synth.minhash_perms(), rows_per_band=4)
-    jac = dd.ngram_jaccard(docs, cand)
-    near = jac.filter(F.col("n_inter") * 5 >= F.col("n_union") * 4).select("doc_a", "doc_b")
-    h = docs.select("doc_id", F.md5("text").alias("th"))
+    # one shared base pass: 60-bit shingle hashes + text hash, computed and
+    # persisted ONCE — signatures, the jaccard refine (hash-set
+    # intersection == string-set intersection w.h.p. at 60 bits), and the
+    # exact-dup pairing all read this instead of re-scanning+re-hashing
+    sh_expr = _TX.shingles_sql_spark("split(text, ' ')", 3)
+    base = swap_cache(
+        "dedup_cc_base",
+        docs.selectExpr(
+            "doc_id",
+            f"transform({sh_expr}, g -> CAST(conv(substring(md5(g),1,15),16,10) AS BIGINT)) AS h60",
+            "md5(text) AS th",
+        ),
+    )
+    mins = [
+        f"array_min(transform(h60, x -> ({a}L * (x % {synth.MINHASH_P}) + {b}L) % {synth.MINHASH_P}L)) AS mh{p}"
+        for p, a, b in synth.minhash_perms()
+    ]
+    sigs = base.selectExpr("doc_id", *mins)
+    bands = dd.lsh_bands(sigs, len(synth.minhash_perms()), rows_per_band=4)
+    cand = (
+        bands.selectExpr("doc_id AS doc_a", "band_id", "band_key")
+        .join(bands.selectExpr("doc_id AS doc_b", "band_id", "band_key"), ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = base.selectExpr("doc_id AS doc_a", "h60 AS h_a")
+    b = base.selectExpr("doc_id AS doc_b", "h60 AS h_b")
+    n_inter = F.size(F.array_intersect("h_a", "h_b"))
+    n_union = F.size("h_a") + F.size("h_b") - n_inter
+    near = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(n_inter * 5 >= n_union * 4)
+        .select("doc_a", "doc_b")
+    )
     exact = (
-        h.selectExpr("doc_id AS doc_a", "th")
-        .join(h.selectExpr("doc_id AS doc_b", "th"), "th")
+        base.selectExpr("doc_id AS doc_a", "th")
+        .join(base.selectExpr("doc_id AS doc_b", "th"), "th")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
     pairs = near.unionByName(exact).distinct()
-    return dd.connected_components(docs.select("doc_id"), pairs)
+    return dd.connected_components(base.select("doc_id"), pairs)
 
 
 @query(
