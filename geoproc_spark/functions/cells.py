@@ -168,11 +168,11 @@ def transform_bounds(
     pair = (src.lower(), dst.lower())
     minx, miny, maxx, maxy = bounds
     t = np.linspace(0.0, 1.0, max(2, densify_pts))
-    xs = np.concatenate([minx + (maxx - minx) * t, np.full_like(t, minx), np.full_like(t, maxx)])
-    ys = np.concatenate([np.full_like(t, miny), miny + (maxy - miny) * t, np.full_like(t, maxy)])
-    # remaining edges (top edge x-sweep, right edge y-sweep)
-    xs = np.concatenate([xs, minx + (maxx - minx) * t])
-    ys = np.concatenate([ys, np.full_like(t, maxy)])
+    x_sweep = minx + (maxx - minx) * t
+    y_sweep = miny + (maxy - miny) * t
+    # all four edges: bottom/top x-sweeps + left/right y-sweeps
+    xs = np.concatenate([x_sweep, x_sweep, np.full_like(t, minx), np.full_like(t, maxx)])
+    ys = np.concatenate([np.full_like(t, miny), np.full_like(t, maxy), y_sweep, y_sweep])
     if pair == ("epsg:4326", "epsg:3857"):
         px, py = lonlat_to_mercator_np(xs, ys)
     elif pair == ("epsg:3857", "epsg:4326"):

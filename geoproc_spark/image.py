@@ -80,10 +80,13 @@ class Image:
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 m = json.load(fh)
-            nb = n_bands or m["n_bands"]
+            if n_bands is None and m.get("band_names"):
+                names = m["band_names"]  # band identity survives the roundtrip
+            else:
+                names = [f"B{i+1}" for i in range(n_bands or m["n_bands"])]
             return cls(
                 df.select(*TILE_KEY, "data", "mask"),
-                [f"B{i+1}" for i in range(nb)],
+                names,
                 "float64",
                 m["n_px"],
                 min_zoom=m.get("min_zoom"),
@@ -165,7 +168,10 @@ class Image:
             F.array(*[F.col("data")[i] for i in idxs]).alias("data"),
             "mask",
         )
-        return Image(df, names, self.dtype, self.n_px)
+        return Image(
+            df, names, self.dtype, self.n_px,
+            min_zoom=self.min_zoom, max_zoom=self.max_zoom,
+        )
 
     # ------------------------------------------------------------- algebra
     def _binary(self, other, op: str, reverse: bool = False) -> "Image":
@@ -250,7 +256,10 @@ class Image:
         df = self.df.select(
             *TILE_KEY, A.abs_data(F.col("data"), self.n_bands).alias("data"), "mask"
         )
-        return Image(df, self.band_names, self.dtype, self.n_px)
+        return Image(
+            df, self.band_names, self.dtype, self.n_px,
+            min_zoom=self.min_zoom, max_zoom=self.max_zoom,
+        )
 
     # ------------------------------------------------------- visualization
     def rescale(self, rng) -> "Image":
@@ -258,7 +267,10 @@ class Image:
         df = self.df.select(
             *TILE_KEY, A.rescale_data(F.col("data"), ranges).alias("data"), "mask"
         )
-        return Image(df, self.band_names, "float64", self.n_px)
+        return Image(
+            df, self.band_names, "float64", self.n_px,
+            min_zoom=self.min_zoom, max_zoom=self.max_zoom,
+        )
 
     def with_gain_bias_gamma(self, gain: float = 1.0, bias: float = 0.0, gamma: float = 1.0) -> "Image":
         """F8 vis params — declared by the reference's VisualizationParams
@@ -278,7 +290,10 @@ class Image:
         df = self.df.select(
             *TILE_KEY, "data", A.opacity_mask(F.col("mask"), opacity).alias("mask")
         )
-        return Image(df, self.band_names, self.dtype, self.n_px)
+        return Image(
+            df, self.band_names, self.dtype, self.n_px,
+            min_zoom=self.min_zoom, max_zoom=self.max_zoom,
+        )
 
     def build_overview(self) -> "Image":
         """One pyramid level up (z-1 parents from 2x2 children) — the

@@ -73,8 +73,13 @@ def minhash_signatures(docs: DataFrame, perms: list[tuple[int, int, int]]) -> Da
         f"array_min(transform(h, x -> ({a}L * x + {b}L) % {TX.H32_P}L)) AS mh{p}"
         for p, a, b in perms
     ]
-    return docs.selectExpr("doc_id", f"{_shingle_h32_expr()} AS h").selectExpr(
-        "doc_id", *mins
+    return (
+        docs.selectExpr("doc_id", f"{_shingle_h32_expr()} AS h")
+        # docs too short to shingle have NO signature (array_min(empty) is
+        # NULL; the exploded/oracle form produces no rows for them) — drop,
+        # or every short doc would share the all-NULL band key
+        .filter("size(h) > 0")
+        .selectExpr("doc_id", *mins)
     )
 
 
@@ -159,8 +164,12 @@ def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0L END)"
         for b in range(n_bits)
     )
-    return docs.selectExpr("doc_id", f"{hashes} AS h").selectExpr(
-        "doc_id", f"({bits}) AS simhash"
+    return (
+        docs.selectExpr("doc_id", f"{hashes} AS h")
+        # no shingles -> no signature (matches the exploded/oracle form,
+        # which emits no rows for docs shorter than the shingle width)
+        .filter("size(h) > 0")
+        .selectExpr("doc_id", f"({bits}) AS simhash")
     )
 
 

@@ -241,12 +241,17 @@ def probe_ivf_index(
     definition, same as cosine_topk's broadcast) and pushed as a LITERAL
     partition filter — static pruning the scan shows in PartitionFilters,
     no reliance on runtime DPP."""
-    qb = ivf_assign(
-        queries.select(F.col("qid"), F.col("embedding").alias("emb_q")),
-        centroids,
-        "emb_q",
-        n_lists=nprobe,
-    ).persist()
+    from ._cache import swap_cache
+
+    qb = swap_cache(
+        "ivf_probe_q",
+        ivf_assign(
+            queries.select(F.col("qid"), F.col("embedding").alias("emb_q")),
+            centroids,
+            "emb_q",
+            n_lists=nprobe,
+        ),
+    )
     probed = sorted({r["list_id"] for r in qb.select("list_id").distinct().collect()})
     cb = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
     scored = (

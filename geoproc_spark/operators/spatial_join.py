@@ -271,7 +271,17 @@ def broadcast_spatial_join(
         for pdf in batches:
             lon = pdf[lon_col].to_numpy(dtype=np.float64)
             lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            # non-null NaN coordinates pass the isNotNull filter below but
+            # must never reach the float->int64 cell cast (UB in numpy):
+            # park them on an off-grid sentinel the index cannot match
+            bad = np.isnan(lon) | np.isnan(lat)
+            if bad.any():
+                lon = np.where(bad, 0.0, lon)
+                lat = np.where(bad, 0.0, lat)
             pi, fi = index.candidates(lat, lon)
+            if bad.any():
+                keep_ok = ~bad[pi]
+                pi, fi = pi[keep_ok], fi[keep_ok]
             if len(pi) == 0:
                 yield pdf.iloc[:0].assign(feature_id=np.array([], dtype=np.int64))
                 continue

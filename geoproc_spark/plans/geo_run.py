@@ -24,7 +24,13 @@ TILE_ZOOM = 6
 
 def stage_pages(sf_dir: str, replicate: int = 1):
     def fn(spark: SparkSession, _inputs) -> DataFrame:
-        return synth.pages_df(spark, sf_dir, replicate=replicate)
+        # snapshot only the columns downstream stages read — in production
+        # the input table already exists; synthesizing AND persisting the
+        # fat html BINARY column here would double the stage's bytes for a
+        # column no stage scans (same projection BENCH/scaling_job.py uses)
+        return synth.pages_df(spark, sf_dir, replicate=replicate).select(
+            "page_id", "url", "lang", "text"
+        )
 
     return Stage("pages", fn)
 

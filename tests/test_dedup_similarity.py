@@ -201,3 +201,17 @@ def test_connected_components_structure(spark):
     assert all(c <= d for d, c in rows.items())
     # and every canonical is itself canonical (labels are a fixpoint)
     assert all(rows[c] == c for c in set(rows.values()))
+
+
+def test_short_docs_have_no_signature_and_stay_singleton(spark):
+    """Docs too short to shingle (< 3 tokens) get NO minhash/simhash
+    signature (the exploded/oracle semantics) — they must never collapse
+    into a shared empty-signature bucket."""
+    rows = [(1, "a b"), (2, "x"), (3, "one two three four five"), (4, "uno dos tres cuatro")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(docs, synth.minhash_perms())
+    assert {r.doc_id for r in sigs.collect()} == {3, 4}
+    assert {r.doc_id for r in dd.simhash(docs).collect()} == {3, 4}
+    pairs = dd.lsh_candidate_pairs(docs, synth.minhash_perms())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) not in got  # short docs never pair via the empty bucket

@@ -181,3 +181,14 @@ def test_broadcast_join_10k_polygons(spark):
     )
     assert bcast == shuffle and len(bcast) > 0
     assert dt < 60, f"broadcast join took {dt:.1f}s on 10k polys x 50k points"
+
+
+def test_broadcast_join_nan_coordinates_never_match(spark):
+    """Non-null NaN coordinates pass isNotNull but must not match (and must
+    not hit the float->int cell cast): guarded sentinel path."""
+    pts = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, float("nan"), 2.3522), (3, 48.8566, float("nan"))],
+        "page_id long, lat double, lon double",
+    )
+    got = sj.broadcast_spatial_join(pts, synth.polygon_rings()).select("page_id").collect()
+    assert {r.page_id for r in got} == {1}
