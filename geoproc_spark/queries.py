@@ -612,6 +612,10 @@ cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
               AND b1.doc_id < b2.doc_id)
 """
 
+# 6 unrolled min-propagation rounds: planted components have diameter <= 2,
+# organic near-dup chains at sf0.01 converge by round 3 (verified); extra
+# rounds are idempotent, so 6 is pure safety margin over any fixture drift
+_CC_ROUNDS = 6
 _CC_PROP_DUCK = "\n".join(
     f"""l{i + 1} AS (
   SELECT l.doc_id, least(l.c, coalesce(min(n.c), l.c)) AS c
@@ -619,7 +623,7 @@ _CC_PROP_DUCK = "\n".join(
               LEFT JOIN l{i} n ON n.doc_id = e.src
   GROUP BY l.doc_id, l.c
 ),"""
-    for i in range(4)
+    for i in range(_CC_ROUNDS)
 )
 
 _SH_DUCK = TX.shingles_sql_duckdb("string_split(text, ' ')")
@@ -644,7 +648,7 @@ edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
           UNION ALL SELECT doc_b AS src, doc_a AS dst FROM e0),
 l0 AS (SELECT doc_id, doc_id AS c FROM docs),
 {_CC_PROP_DUCK}
-fin AS (SELECT * FROM l4)
+fin AS (SELECT * FROM l{_CC_ROUNDS})
 SELECT doc_id, CAST(c AS BIGINT) AS component FROM fin
 """,
 )
@@ -654,7 +658,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation -> canonical (min) doc id per component, one row
     per document. The Spark path iterates to convergence (an ITERATIVE
     algorithm — driver loop, each round one small label join); the oracle
-    unrolls 4 propagation rounds, >= the fixture graph's diameter."""
+    unrolls 6 propagation rounds, comfortably above the fixture graph diameter (extra rounds are idempotent)."""
     from .operators._cache import swap_cache
     from .functions import text as _TX
 
