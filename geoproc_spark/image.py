@@ -309,6 +309,46 @@ class Image:
             max_zoom=self.max_zoom,
         )
 
+    def render_png(self, band, rng, opacity: float = 1.0) -> DataFrame:
+        """The COMPLETE S5 tile sink (reference geoproc/server/app.py:125-178):
+        band select -> clamped rescale -> opacity -> uint8 -> real PNG bytes
+        (grayscale + mask-as-alpha, functions/png.py), one row per tile
+        (z, x, y, png BINARY). Encoding runs inside an Arrow-batched pandas
+        UDF — distributed, bytes deterministic per tile."""
+        import math
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from .functions import png as _png
+        from .operators import algebra as _A
+
+        r = self.select([band]).rescale(rng)
+        if opacity < 1.0:
+            r = r.with_opacity(opacity)
+        side = int(math.isqrt(self.n_px))
+        rendered = r.df.select(
+            *TILE_KEY,
+            _A.uint8_data(F.col("data"), 1).alias("data"),
+            "mask",
+        )
+
+        # no annotations: `from __future__ import annotations` stringifies
+        # hints on nested functions, breaking pandas_udf inference — the
+        # explicit (fn, returnType) form takes the scalar path directly
+        def _enc(data, mask):
+            out = []
+            for d, m in zip(data, mask):
+                plane = np.asarray(d[0], dtype=np.uint8).reshape(side, side)
+                alpha = np.asarray(m, dtype=np.uint8).reshape(side, side)
+                out.append(_png.encode_gray_png(plane, alpha))
+            return pd.Series(out)
+
+        enc = F.pandas_udf(_enc, T.BinaryType())
+
+        return rendered.select(*TILE_KEY, enc("data", "mask").alias("png"))
+
     # ------------------------------------------------------------- actions
     def statistics(self) -> DataFrame:
         """Per-tile per-band stats — implements the reference's empty stub
