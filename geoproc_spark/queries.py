@@ -1152,6 +1152,69 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_join",
+    """
+WITH r AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+           FROM events WHERE event_id % 2 = 0),
+l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1),
+u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS ord_id,
+         CAST(NULL AS BIGINT) AS l_id, event_id AS r_id, value_cents FROM r
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, event_id AS ord_id,
+         event_id AS l_id, CAST(NULL AS BIGINT) AS r_id,
+         CAST(NULL AS BIGINT) AS value_cents FROM l
+),
+m AS (
+  SELECT user_id, ts, side, l_id,
+         last_value(r_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, ord_id
+           ROWS UNBOUNDED PRECEDING) AS asof_event_id,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, ord_id
+           ROWS UNBOUNDED PRECEDING) AS asof_value_cents
+  FROM u
+)
+SELECT l_id AS event_id, user_id, ts, asof_event_id, asof_value_cents
+FROM m WHERE side = 1
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every odd event matched to the same
+    user's most recent even event at-or-before its timestamp — the
+    time-series join Spark lacks built-in, expressed as union + ONE
+    shuffle + window (no join node); deterministic <=/tie-break spec
+    pinned by the oracle."""
+    from .operators import asof
+
+    synth.load_tables(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    right = ev.filter("event_id % 2 = 0").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("value_cents"),
+    )
+    left = ev.filter("event_id % 2 = 1").select("user_id", "ts", "event_id")
+    return asof.asof_join(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts",
+        right_id_col="event_id",
+        right_value_cols=["value_cents"],
+        left_id_col="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id"),
+        F.col("asof_value_cents"),
+    )
+
+
+@query(
     "events_top3_per_user",
     """
 WITH r AS (

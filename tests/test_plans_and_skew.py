@@ -207,3 +207,16 @@ def test_spatial_join_shuffle_path_without_broadcast(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The as-of join plans as union + ONE Exchange + window — no join
+    operator at all (the sort-merge as-of shape)."""
+    df = Q.SPARK_QUERIES["events_asof_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # sanity: unmatched lefts carry NULLs, matched carry prior-or-equal ts
+    rows = df.collect()
+    assert any(r["asof_event_id"] is None for r in rows)
+    assert any(r["asof_event_id"] is not None for r in rows)
