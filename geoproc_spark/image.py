@@ -312,9 +312,12 @@ class Image:
     def render_png(self, band, rng, opacity: float = 1.0) -> DataFrame:
         """The COMPLETE S5 tile sink (reference geoproc/server/app.py:125-178):
         band select -> clamped rescale -> opacity -> uint8 -> real PNG bytes
-        (grayscale + mask-as-alpha, functions/png.py), one row per tile
-        (z, x, y, png BINARY). Encoding runs inside an Arrow-batched pandas
-        UDF — distributed, bytes deterministic per tile."""
+        (functions/png.py; mask rides as the alpha plane), one row per tile
+        (z, x, y, png BINARY). `band` is one band name (grayscale PNG) or a
+        list of three (truecolor) — the exact 1-or-3 contract of the
+        reference's VisualizationParams (geoproc/models.py:8). Encoding runs
+        inside an Arrow-batched pandas UDF — distributed, bytes
+        deterministic per tile."""
         import math
 
         import numpy as np
@@ -324,13 +327,17 @@ class Image:
         from .functions import png as _png
         from .operators import algebra as _A
 
-        r = self.select([band]).rescale(rng)
+        bands = [band] if isinstance(band, (str, int)) else list(band)
+        if len(bands) not in (1, 3):
+            raise ValueError("render_png takes 1 or 3 bands (models.py:8)")
+        nb = len(bands)
+        r = self.select(bands).rescale(rng)
         if opacity < 1.0:
             r = r.with_opacity(opacity)
         side = int(math.isqrt(self.n_px))
         rendered = r.df.select(
             *TILE_KEY,
-            _A.uint8_data(F.col("data"), 1).alias("data"),
+            _A.uint8_data(F.col("data"), nb).alias("data"),
             "mask",
         )
 
@@ -340,9 +347,15 @@ class Image:
         def _enc(data, mask):
             out = []
             for d, m in zip(data, mask):
-                plane = np.asarray(d[0], dtype=np.uint8).reshape(side, side)
                 alpha = np.asarray(m, dtype=np.uint8).reshape(side, side)
-                out.append(_png.encode_gray_png(plane, alpha))
+                if nb == 1:
+                    plane = np.asarray(d[0], dtype=np.uint8).reshape(side, side)
+                    out.append(_png.encode_gray_png(plane, alpha))
+                else:
+                    rgb = np.stack(
+                        [np.asarray(b, dtype=np.uint8).reshape(side, side) for b in d]
+                    )
+                    out.append(_png.encode_rgb_png(rgb, alpha))
             return pd.Series(out)
 
         enc = F.pandas_udf(_enc, T.BinaryType())

@@ -53,3 +53,36 @@ def test_render_png_bytes_partition_invariant(spark):
         .collect()
     }
     assert one == many
+
+
+def test_rgb_png_roundtrip_and_render():
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (3, 16, 16)).astype(np.uint8)
+    alpha = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    d, a = P.decode_png(P.encode_rgb_png(rgb, alpha))
+    np.testing.assert_array_equal(d, rgb)
+    np.testing.assert_array_equal(a, alpha)
+    d2, a2 = P.decode_png(P.encode_rgb_png(rgb))
+    np.testing.assert_array_equal(d2, rgb)
+    assert a2 is None
+
+
+def test_render_png_three_band(spark):
+    """3-band truecolor path (VisualizationParams bands contract): image A
+    only has 2 bands, so render B1,B2,B1 — decode must give the clamped
+    rescaled uint8 planes in order."""
+    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    rows = a.render_png(["B1", "B2", "B1"], (0.0, 96.0)).collect()
+    na = synth.tile_pixels_np("A")
+    side = 16
+    for r in rows:
+        d, m = na[(r["z"], r["x"], r["y"])]
+        sel = np.stack([d[0], d[1], d[0]])
+        want = (np.clip(sel, 0.0, 96.0) / 96.0 * 255.0).astype(np.uint8)
+        rgb, alpha = P.decode_png(bytes(r["png"]))
+        np.testing.assert_array_equal(rgb, want.reshape(3, side, side))
+        np.testing.assert_array_equal(alpha, m.reshape(side, side).astype(np.uint8))
+    import pytest
+
+    with pytest.raises(ValueError):
+        a.render_png(["B1", "B2"], (0.0, 96.0))
