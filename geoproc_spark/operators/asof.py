@@ -38,27 +38,46 @@ def asof_join(
     row at exactly left.ts matches, i.e. <= semantics), and among equal-ts
     right rows the largest right_id wins (deterministic tie-break).
     """
+    from pyspark.sql import types as T
+
     carried = [right_id_col] + right_value_cols
-    r = right.select(
+    rtypes = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    ltypes = dict(zip(left.schema.names, [f.dataType for f in left.schema.fields]))
+    # ALL carried right columns travel as ONE nullable struct, so the id and
+    # its values are carried ATOMICALLY — per-column last(ignorenulls) would
+    # tear rows when a right value is genuinely NULL (id from one row, value
+    # from an earlier one)
+    carry_type = T.StructType([T.StructField(c, rtypes[c]) for c in carried])
+    # side-specific ordering columns: right and left ids may have different
+    # types (a shared _ord_id column would union-coerce and corrupt order)
+    r = right.filter(
+        # a NULL-ts right can never satisfy right.ts <= left.ts; unfiltered
+        # it would sort NULLS FIRST and pollute every left row
+        F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("_side"),  # rights first at equal ts
-        F.col(right_id_col).alias("_ord_id"),
-        F.lit(None).cast("bigint").alias("_left_id"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.col(right_id_col).alias("_r_ord"),
+        F.lit(None).cast(ltypes[left_id_col]).alias("_l_ord"),
+        F.lit(None).cast(ltypes[left_id_col]).alias("_left_id"),
+        F.struct(*[F.col(c) for c in carried]).alias("_r"),
     )
     l = left.select(  # noqa: E741
         F.col(key_col),
         F.col(ts_col),
         F.lit(1).alias("_side"),
-        F.col(left_id_col).alias("_ord_id"),
-        F.col(left_id_col).cast("bigint").alias("_left_id"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carried],
+        F.lit(None).cast(rtypes[right_id_col]).alias("_r_ord"),
+        F.col(left_id_col).alias("_l_ord"),
+        F.col(left_id_col).alias("_left_id"),
+        F.lit(None).cast(carry_type).alias("_r"),
     )
     u = r.unionByName(l)
+    # within one (ts, side) run only that side's ord column is non-null, so
+    # each side orders by its own id; the other column is constant NULL
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, "_side", "_ord_id")
+        .orderBy(ts_col, "_side", "_r_ord", "_l_ord")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = u.select(
@@ -66,14 +85,11 @@ def asof_join(
         ts_col,
         "_side",
         "_left_id",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in carried
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     return matched.filter(F.col("_side") == 1).select(
         F.col("_left_id").alias(left_id_col),
         key_col,
         ts_col,
-        *[F.col(f"asof_{c}") for c in carried],
+        *[F.col("_m").getField(c).alias(f"asof_{c}") for c in carried],
     )

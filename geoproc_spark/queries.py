@@ -1168,15 +1168,15 @@ u AS (
 ),
 m AS (
   SELECT user_id, ts, side, l_id,
-         last_value(r_id IGNORE NULLS) OVER (
+         last_value(CASE WHEN side = 0
+                         THEN struct_pack(rid := r_id, vc := value_cents)
+                    END IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY ts, side, ord_id
-           ROWS UNBOUNDED PRECEDING) AS asof_event_id,
-         last_value(value_cents IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ts, side, ord_id
-           ROWS UNBOUNDED PRECEDING) AS asof_value_cents
+           ROWS UNBOUNDED PRECEDING) AS s
   FROM u
 )
-SELECT l_id AS event_id, user_id, ts, asof_event_id, asof_value_cents
+SELECT l_id AS event_id, user_id, ts,
+       s.rid AS asof_event_id, s.vc AS asof_value_cents
 FROM m WHERE side = 1
 """,
 )

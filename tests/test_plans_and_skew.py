@@ -220,3 +220,27 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     rows = df.collect()
     assert any(r["asof_event_id"] is None for r in rows)
     assert any(r["asof_event_id"] is not None for r in rows)
+
+
+def test_asof_join_atomic_carry_and_null_guards(spark):
+    """Review-fix pins: (a) right id + values are carried ATOMICALLY (a
+    NULL right value must not tear the row by pulling an older value);
+    (b) NULL-ts rights never match; (c) non-numeric left ids survive."""
+    from geoproc_spark.operators import asof
+
+    right = spark.createDataFrame(
+        [(1, 1.0, 2, 10), (1, 2.0, 4, None), (2, None, 6, 7)],
+        "k long, ts double, rid long, v long",
+    )
+    left = spark.createDataFrame(
+        [(1, 3.0, "a"), (2, 5.0, "b")], "k long, ts double, lid string"
+    )
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof.asof_join(
+            left, right, key_col="k", ts_col="ts", right_id_col="rid",
+            right_value_cols=["v"], left_id_col="lid",
+        ).collect()
+    }
+    assert out["a"] == (4, None)  # matched row id=4 carries ITS null value
+    assert out["b"] == (None, None)  # NULL-ts right is not a match
