@@ -6,27 +6,42 @@ unpersist before the caller's action. Left alone, every call in a
 long-lived session pins another copy in executor storage (ADVICE r01).
 `swap_cache` bounds that to ONE cached lineage per operator key: each call
 unpersists the previous call's cache before persisting its own.
+
+Thread safety (ADVICE r02): bench.py and real pipelines run jobs on
+threads, so the registry swap is guarded by a lock — without it two
+concurrent callers could both persist and leak one lineage, or one could
+unpersist the other's cache mid-swap. Note the semantic contract is
+unchanged and caller-visible: interleaved calls under the SAME key with
+different inputs still evict each other (results stay correct — eviction
+only drops the cache, never the data); callers that need two live caches
+use distinct keys.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _LAST: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def swap_cache(key: str, df: DataFrame) -> DataFrame:
-    prev = _LAST.get(key)
-    if prev is not None:
+    cached = df.persist()
+    with _LOCK:
+        prev = _LAST.get(key)
+        _LAST[key] = cached
+    if prev is not None and prev is not cached:
         try:
             prev.unpersist()
         except Exception:
             pass  # session may be gone; nothing to release
-    _LAST[key] = df.persist()
-    return _LAST[key]
+    return cached
 
 
 def release(key: str) -> None:
-    prev = _LAST.pop(key, None)
+    with _LOCK:
+        prev = _LAST.pop(key, None)
     if prev is not None:
         prev.unpersist()

@@ -37,6 +37,13 @@ def asof_join(
     Ordering at equal timestamps: right rows sort BEFORE left rows (a right
     row at exactly left.ts matches, i.e. <= semantics), and among equal-ts
     right rows the largest right_id wins (deterministic tie-break).
+
+    NULL contract (pinned to SQL comparison semantics, ADVICE r02): a left
+    row with NULL ts or NULL key gets NULL matches (no `right.ts <= NULL`
+    is satisfiable; NULL keys never join-equal anything), and NULL-key /
+    NULL-ts right rows can never match. Both are routed explicitly below —
+    NEVER left to engine-specific NULL ordering, which diverges between
+    Spark (ascending NULLS FIRST) and the SQL oracle (NULLS LAST).
     """
     from pyspark.sql import types as T
 
@@ -50,10 +57,21 @@ def asof_join(
     carry_type = T.StructType([T.StructField(c, rtypes[c]) for c in carried])
     # side-specific ordering columns: right and left ids may have different
     # types (a shared _ord_id column would union-coerce and corrupt order)
+    # left rows that can never match (NULL ts / NULL key) bypass the window
+    # entirely and come back as explicit NULL-match rows at the end
+    matchable = F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    left_null = left.filter(~matchable).select(
+        F.col(left_id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.lit(None).cast(rtypes[c]).alias(f"asof_{c}") for c in carried],
+    )
+    left = left.filter(matchable)
     r = right.filter(
-        # a NULL-ts right can never satisfy right.ts <= left.ts; unfiltered
-        # it would sort NULLS FIRST and pollute every left row
-        F.col(ts_col).isNotNull()
+        # a NULL-ts or NULL-key right can never satisfy the match predicate;
+        # unfiltered, NULL ts would sort NULLS FIRST and pollute every left
+        # row, and NULL keys would partition together and "match" NULL lefts
+        matchable
     ).select(
         F.col(key_col),
         F.col(ts_col),
@@ -87,9 +105,10 @@ def asof_join(
         "_left_id",
         F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
-    return matched.filter(F.col("_side") == 1).select(
+    out = matched.filter(F.col("_side") == 1).select(
         F.col("_left_id").alias(left_id_col),
         key_col,
         ts_col,
         *[F.col("_m").getField(c).alias(f"asof_{c}") for c in carried],
     )
+    return out.unionByName(left_null)

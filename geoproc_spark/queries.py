@@ -43,13 +43,22 @@ def query(name: str, oracle: str | None = None):
 
 
 def all_oracle_sql() -> dict[str, str]:
+    import warnings
+
     out = dict(ORACLE_SQL)
     for name, build in ORACLE_SQL_LAZY.items():
         try:
             out[name] = build()
-        except Exception:
+        except Exception as exc:
             # missing fixtures for ONE values-oracle must not take down the
-            # whole oracle map — that query degrades to rows-only instead
+            # whole oracle map — that query degrades to rows-only instead,
+            # but LOUDLY: a silent degrade would quietly void the
+            # "every query oracle-checked" guarantee (ADVICE r02)
+            warnings.warn(
+                f"values-oracle for {name!r} failed to build ({exc!r}); "
+                f"query degrades to rows-only correctness",
+                stacklevel=2,
+            )
             continue
     return out
 

@@ -74,7 +74,18 @@ def write_table(
     is written, and the version-hint pointer flips last — a forced re-run
     that crashes mid-write can never corrupt the currently-committed
     snapshot (the Iceberg commit protocol this layer emulates).
+
+    Only mode='overwrite' is supported: each snapshot's file list is exactly
+    this write's output. mode='append' would need to merge the parent
+    snapshot's file list into the new manifest (Iceberg's append commit) —
+    until that exists, accepting it would silently produce a snapshot
+    holding ONLY the appended rows (latent data loss, ADVICE r02).
     """
+    if mode != "overwrite":
+        raise ValueError(
+            f"write_table supports only mode='overwrite' (got {mode!r}); "
+            "append requires merging the parent snapshot's file list"
+        )
     prev = current_snapshot_id(path)
     snap_id = (prev or 0) + 1
     data = os.path.join(_data_dir(path), f"snap-{snap_id}")

@@ -85,12 +85,15 @@ def test_html_extraction_matches_ground_truth(spark):
     the integer ground truth exactly (meta tag path on geo pages)."""
     pages = synth.pages_df(spark, SF_DIR)
     df = pages.withColumn("c", extract.extract_coords_html_udf("html"))
+    # eqNullSafe closes the three-valued-logic hole (ADVICE r02): a broken
+    # extractor returning NULL on a geo page must count as a bad row, not
+    # evaluate the predicate to NULL and slip through the filter
     bad = df.filter(
         (
             (F.col("has_geo") == 1)
             & (
-                ~(F.col("c.lat") == F.col("lat_s") / 10000.0)
-                | ~(F.col("c.lon") == F.col("lon_s") / 10000.0)
+                ~F.col("c.lat").eqNullSafe(F.col("lat_s") / 10000.0)
+                | ~F.col("c.lon").eqNullSafe(F.col("lon_s") / 10000.0)
             )
         )
         | ((F.col("has_geo") == 0) & F.col("c.lat").isNotNull())

@@ -225,15 +225,18 @@ def test_asof_join_single_shuffle_no_join_node(spark):
 def test_asof_join_atomic_carry_and_null_guards(spark):
     """Review-fix pins: (a) right id + values are carried ATOMICALLY (a
     NULL right value must not tear the row by pulling an older value);
-    (b) NULL-ts rights never match; (c) non-numeric left ids survive."""
+    (b) NULL-ts rights never match; (c) non-numeric left ids survive;
+    (d) the SQL NULL contract (ADVICE r02): NULL-ts / NULL-key LEFTS get
+    NULL matches, and NULL-key rights never match NULL-key lefts."""
     from geoproc_spark.operators import asof
 
     right = spark.createDataFrame(
-        [(1, 1.0, 2, 10), (1, 2.0, 4, None), (2, None, 6, 7)],
+        [(1, 1.0, 2, 10), (1, 2.0, 4, None), (2, None, 6, 7), (None, 0.5, 8, 9)],
         "k long, ts double, rid long, v long",
     )
     left = spark.createDataFrame(
-        [(1, 3.0, "a"), (2, 5.0, "b")], "k long, ts double, lid string"
+        [(1, 3.0, "a"), (2, 5.0, "b"), (1, None, "c"), (None, 9.0, "d")],
+        "k long, ts double, lid string",
     )
     out = {
         r["lid"]: (r["asof_rid"], r["asof_v"])
@@ -242,5 +245,8 @@ def test_asof_join_atomic_carry_and_null_guards(spark):
             right_value_cols=["v"], left_id_col="lid",
         ).collect()
     }
+    assert len(out) == 4  # every left row comes back exactly once
     assert out["a"] == (4, None)  # matched row id=4 carries ITS null value
     assert out["b"] == (None, None)  # NULL-ts right is not a match
+    assert out["c"] == (None, None)  # NULL-ts left: no right.ts <= NULL
+    assert out["d"] == (None, None)  # NULL keys never join-equal (rid=8 excluded)
