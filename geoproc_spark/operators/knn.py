@@ -152,9 +152,14 @@ def knn_join(
             .groupBy("qid", "qlat_s", "qlon_s", "k")
             .agg(F.count("*").alias("n"), F.max("d2").alias("d_k"))
         )
+        # localCheckpoint (eager) truncates lineage at the round boundary:
+        # resolved is tiny (<= |queries| rows) but its PLAN holds the whole
+        # ring-explode + pages join subtree — without the cut, round r's
+        # isEmpty re-executes rounds 1..r-1 and phase 2 re-executes every
+        # round's candidate join a second time (VERDICT r02 item 8)
         resolved = kth.filter(F.col("n") >= F.col("k")).select(
             "qid", "qlat_s", "qlon_s", "k", "d_k"
-        )
+        ).localCheckpoint()
         bounds = resolved if bounds is None else bounds.unionByName(resolved)
         unresolved = unresolved.join(resolved.select("qid"), "qid", "left_anti")
         if unresolved.isEmpty():

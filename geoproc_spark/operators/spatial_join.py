@@ -170,6 +170,47 @@ def spatial_join(
     return refined.drop("_cell", "_salt", "ring")
 
 
+def bucketed_spatial_join(
+    points: DataFrame,
+    poly: DataFrame,
+    table: str = "geo_pages_cell_bkt",
+    zoom: int = DEFAULT_JOIN_ZOOM,
+    n_buckets: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """The storage-partitioned variant of `spatial_join` (SURVEY §4.2 /
+    north_rule cell-prefix layout): the cell-keyed points are materialized
+    ONCE as a table bucketed AND sorted on the join cell, so the join plans
+    with ZERO Exchange and zero Sort on the pages side — only the small
+    exploded polygon side shuffles into the bucket partitioning (hinted
+    merge join; broadcast would bypass the layout under test). At 100 TB
+    this is Iceberg's bucket(N, cell) write followed by storage-partitioned
+    joins: the expensive side never moves again, across every query that
+    keys on the cell.
+
+    Same (point columns + feature_id) contract and exact PIP refine as
+    spatial_join."""
+    from ..sources import bucketed as bk
+
+    spark = points.sparkSession
+    pts = points.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    pts = pts.withColumn("_cell", cells.cell_id_col(F.col(lat_col), F.col(lon_col), zoom))
+    bk.write_bucketed(pts, table, ["_cell"], n_buckets=n_buckets, sort_cols=["_cell"])
+    t = bk.read_bucketed(spark, table)
+
+    poly_cells = (
+        with_covering_cells(poly, zoom)
+        .select("feature_id", "ring", F.explode("covering_cells").alias("_cell"))
+        .hint("merge")  # force SMJ: the bucketed side joins in place
+    )
+    joined = t.join(poly_cells, "_cell", "inner")
+    refined = joined.filter(
+        _pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring"), F.col("feature_id"))
+    )
+    return refined.drop("_cell", "ring")
+
+
 def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Concatenate arange(s, s+c) for each (s, c) — vectorized, no Python
     loop over ranges (the classic cumsum trick)."""

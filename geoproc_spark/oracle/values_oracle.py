@@ -109,6 +109,54 @@ def ivf_topk_values_sql(
     )
 
 
+def lsh_topk_values_sql(
+    sf_dir: str = ORACLE_SF_DIR,
+    n_planes: int = 12,
+    k: int = 5,
+    multi_probe: bool = True,
+    seed: int = 42,
+) -> str:
+    """Expected (qid, vec_id, rank) for ann_lsh_topk — an independent numpy
+    replica of operators/similarity.ann_topk_lsh: same seeded hyperplanes,
+    same sign-bucket codes, same hamming-1 multi-probe set, same per-pair
+    einsum cosine and (cos DESC, vec_id) tie-break. A query whose probed
+    buckets hold fewer than k candidates emits fewer rows — both sides."""
+    import pyarrow.parquet as pq
+
+    from ..operators import similarity as sim
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+
+    planes = sim.hyperplanes(mat.shape[1], n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    buckets = ((mat @ planes.T) > 0) @ weights
+    norm = sim._normalize(mat)
+
+    rows = []
+    for qi in np.nonzero(vid < 10)[0]:
+        qid = int(vid[qi])
+        probes = {int(buckets[qi])}
+        if multi_probe:
+            probes |= {int(buckets[qi]) ^ (1 << j) for j in range(n_planes)}
+        cand = np.isin(buckets, list(probes)) & (vid != qid)
+        cv = vid[cand]
+        if not len(cv):
+            continue
+        # per-pair einsum, exactly like _cosine_cols (not a GEMM)
+        qn = np.repeat(norm[qi : qi + 1], len(cv), axis=0)
+        cos = np.einsum("ij,ij->i", qn, norm[cand])
+        sel = np.lexsort((cv, -cos))[:k]
+        for rank, j in enumerate(sel, start=1):
+            rows.append((qid, int(cv[j]), rank))
+    vals = ", ".join(f"({q}, {v}, {r})" for q, v, r in rows)
+    return (
+        "SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(rank AS INT) AS rank FROM (VALUES {vals}) AS t(qid, vec_id, rank)"
+    )
+
+
 def multimodal_features_values_sql(n: int = 200) -> str:
     """Expected feature rows from the stdlib/numpy codec twin
     (operators/multimodal.numpy_oracle_features)."""

@@ -196,6 +196,19 @@ def geo_pip_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "feature_id")
 
 
+@query("geo_pip_join_bucketed", _PIP_ORACLE)
+def geo_pip_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned variant: points land in a cell-bucketed+sorted
+    table once, the join runs with zero Exchange/Sort on the pages side
+    (plan-asserted in test_plans_and_skew); same result set as the other
+    three PIP variants against the same oracle."""
+    pts = _pages_with_coords(spark, sf_dir)
+    poly = sj.polygons_df(spark)
+    return sj.bucketed_spatial_join(
+        pts.select("page_id", "lat", "lon"), poly
+    ).select("page_id", "feature_id")
+
+
 # -------------------------------------------------------------- geo_tile_stats
 _xt6, _yt6 = cells.tile_sql("lat_s / 10000.0", "lon_s / 10000.0", TILE_ZOOM)
 
@@ -894,6 +907,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries_df, emb, cents, k=5, nprobe=4)
 
 
+@query("ann_lsh_topk")  # oracle: numpy replica of the LSH path -> VALUES (lazy)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with hamming-1 multi-probe (the last first-class
+    operator family without a CORRECTNESS row in r02): seeded deterministic
+    hyperplanes, bucket equi-join, exact cosine re-rank within probed
+    buckets. Recall vs brute force is test-pinned (test_dedup_similarity);
+    CORRECTNESS oracle: an independent numpy replica (same planes, codes,
+    probe set and tie-break) emitted as VALUES —
+    oracle/values_oracle.lsh_topk_values_sql. The embedding dimension comes
+    from the parquet footer (table metadata at scale), never a Spark job."""
+    import pyarrow.parquet as pq
+
+    synth.load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0, columns=["embedding"])
+    dim = len(first.column("embedding")[0].as_py())
+    planes = sim.hyperplanes(dim, n_planes=12, seed=42)
+    queries_df = emb.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding")
+    return sim.ann_topk_lsh(queries_df, emb, planes, k=5, multi_probe=True)
+
+
 @query("multimodal_features")  # oracle: stdlib/numpy codec twin -> VALUES (lazy)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary asset payloads (fake codec,
@@ -941,6 +975,7 @@ from .oracle import values_oracle as VO  # noqa: E402
 
 ORACLE_SQL_LAZY["geo_s2_cells"] = VO.s2_cells_values_sql
 ORACLE_SQL_LAZY["ann_ivf_topk"] = VO.ivf_topk_values_sql
+ORACLE_SQL_LAZY["ann_lsh_topk"] = VO.lsh_topk_values_sql
 ORACLE_SQL_LAZY["multimodal_features"] = VO.multimodal_features_values_sql
 ORACLE_SQL_LAZY["multimodal_frame_sample"] = VO.frame_sample_values_sql
 ORACLE_SQL_LAZY["multimodal_resize"] = VO.resize_values_sql

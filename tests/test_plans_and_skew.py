@@ -158,6 +158,34 @@ def test_bucketed_join_no_exchange_on_pages_side(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cellagg_bkt")
 
 
+def test_bucketed_spatial_join_pages_side_exchange_free(spark):
+    """The registered geo_pip_join_bucketed path: ONE Exchange total (the
+    small exploded polygon side shuffling into the bucket partitioning);
+    the bucketed+sorted pages side joins in place with no Exchange and no
+    Sort of its own, and the result equals the plain spatial join."""
+    from geoproc_spark.operators import spatial_join as sjo
+
+    pts = synth.pages_df(spark, SF_DIR).filter("has_geo = 1").select(
+        "page_id",
+        (F.col("lat_s") / 10000.0).alias("lat"),
+        (F.col("lon_s") / 10000.0).alias("lon"),
+    )
+    poly = sjo.polygons_df(spark)
+    try:
+        df = sjo.bucketed_spatial_join(pts, poly, table="pages_bkt_sj_test")
+        plan = _plan(df.select("page_id", "feature_id"))
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+        got = {tuple(r) for r in df.select("page_id", "feature_id").collect()}
+        want = {
+            tuple(r)
+            for r in sjo.spatial_join(pts, poly).select("page_id", "feature_id").collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bkt_sj_test")
+
+
 def test_dedup_signatures_zero_shuffle(spark):
     """The zero-shuffle claim, plan-asserted: MinHash and SimHash signature
     passes contain NO Exchange — pure projection over the scan."""

@@ -192,3 +192,32 @@ def test_broadcast_join_nan_coordinates_never_match(spark):
     )
     got = sj.broadcast_spatial_join(pts, synth.polygon_rings()).select("page_id").collect()
     assert {r.page_id for r in got} == {1}
+
+
+def test_knn_sparse_multi_round_flat_lineage(spark):
+    """A sparse corpus forces several ring-expansion rounds; the per-round
+    localCheckpoint must (a) keep the final plan free of the per-round
+    candidate-join subtrees (bounded Exchange count regardless of rounds)
+    and (b) leave the exact result intact vs numpy brute force."""
+    from geoproc_spark.operators import knn as knn_op
+
+    # 8 pages scattered ~continental distances apart; k=3 with a tiny seed
+    # radius guarantees >= 2 expansion rounds at zoom 6
+    pts = [(i, int((i * 37 % 140 - 70) * 1e4), int((i * 83 % 340 - 170) * 1e4)) for i in range(8)]
+    pages = spark.createDataFrame(pts, "page_id long, lat_s long, lon_s long")
+    queries = spark.createDataFrame(
+        [(0, 0, 0, 3), (1, 500000, 900000, 3)], "qid long, qlat_s long, qlon_s long, k int"
+    )
+    out = knn_op.knn_join(queries, pages, zoom=6, n_pages=8, k_max=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 4, plan  # no per-round join subtrees left
+
+    got = {(r.qid, r.page_id, r.rank) for r in out.collect()}
+    want = set()
+    arr = np.array(pts, dtype=np.int64)
+    for qid, qla, qlo, k in [(0, 0, 0, 3), (1, 500000, 900000, 3)]:
+        d2 = (arr[:, 1] - qla) ** 2 + (arr[:, 2] - qlo) ** 2
+        order = np.lexsort((arr[:, 0], d2))[:k]
+        for rank, j in enumerate(order, start=1):
+            want.add((qid, int(arr[j, 0]), rank))
+    assert got == want
