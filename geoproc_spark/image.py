@@ -101,6 +101,76 @@ class Image:
         return cls(df.select(*TILE_KEY, "data", "mask"), [f"B{i+1}" for i in range(n_bands)], dtype, n_px)
 
     @classmethod
+    def from_array(
+        cls,
+        spark: SparkSession,
+        array,
+        zoom: int,
+        x0: int = 0,
+        y0: int = 0,
+        tile_side: int = 16,
+        mask=None,
+        band_names: list[str] | None = None,
+    ) -> "Image":
+        """Offline raster ingest — the no-GDAL analog of the reference's
+        `Image.load` over an arbitrary raster (geoproc/server/image.py:
+        92-118, which reads any GDAL profile; this sandbox has no GDAL, so
+        the entry path is a numpy array + grid placement): cut `array`
+        (bands x H x W, or H x W) into `tile_side`-px tiles aligned to the
+        slippy grid at `zoom` with the top-left pixel at tile (x0, y0),
+        right/bottom edges padded as NODATA (mask 0), and return a lazy
+        Image over the resulting tile rows.
+
+        This is the per-scene unit of a distributed ingest: at warehouse
+        scale each scene/granule runs this cut inside its own task
+        (binaryFiles -> mapPartitions) and the tile rows union into one
+        table; a single driver-side array is the importer's unit test."""
+        import numpy as np
+
+        arr = np.asarray(array, dtype=np.float64)
+        if arr.ndim == 2:
+            arr = arr[None, :, :]
+        if arr.ndim != 3:
+            raise ValueError(f"array must be (bands, H, W) or (H, W); got {arr.shape}")
+        nb, H, W = arr.shape
+        side = tile_side
+        if mask is None:
+            m = np.full((H, W), 255, dtype=np.int64)
+        else:
+            m = np.asarray(mask, dtype=np.int64)
+            if m.shape != (H, W):
+                raise ValueError(f"mask shape {m.shape} != raster shape {(H, W)}")
+        tH = (H + side - 1) // side * side
+        tW = (W + side - 1) // side * side
+        pad_a = np.zeros((nb, tH, tW), dtype=np.float64)
+        pad_a[:, :H, :W] = arr
+        pad_m = np.zeros((tH, tW), dtype=np.int64)
+        pad_m[:H, :W] = m
+        n = 1 << zoom
+        rows = []
+        for ty in range(tH // side):
+            for tx in range(tW // side):
+                x, y = x0 + tx, y0 + ty
+                if not (0 <= x < n and 0 <= y < n):
+                    raise ValueError(f"tile ({x},{y}) outside the zoom-{zoom} grid")
+                d = pad_a[:, ty * side : (ty + 1) * side, tx * side : (tx + 1) * side]
+                mm = pad_m[ty * side : (ty + 1) * side, tx * side : (tx + 1) * side]
+                rows.append(
+                    (
+                        zoom,
+                        x,
+                        y,
+                        [b.ravel().tolist() for b in d],
+                        mm.ravel().tolist(),
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "z int, x int, y int, data array<array<double>>, mask array<int>"
+        )
+        names = band_names or [f"B{i+1}" for i in range(nb)]
+        return cls(df, names, "float64", side * side, min_zoom=zoom, max_zoom=zoom)
+
+    @classmethod
     def constant(cls, value: float, n_px: int = 0) -> "Image":
         """Boundless constant (/root/reference/geoproc/server/image.py:120-139)."""
         return cls(None, ["constant"], "float64", n_px, scalar=float(value))
@@ -408,6 +478,197 @@ class Image:
             F.when(F.col("n_valid") > 0, mean).alias("avg"),
             F.when(F.col("n_valid") > 0, F.sqrt(var)).alias("stddev"),
         )
+
+    def derive_bounds(self, zoom: int) -> tuple[float, float, float, float]:
+        """Lonlat bbox of the tile set at `zoom` — one tiny key-only agg
+        (column-pruned scan; the reference reads this from the raster
+        profile, server/image.py:441-443)."""
+        from .functions import cells as _cells
+
+        r = (
+            self.df.filter(F.col("z") == zoom)
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+            .first()
+        )
+        if r[0] is None:
+            raise ValueError(f"no tiles at zoom {zoom}")
+        w, s, _e, _n = _cells.tile_bounds_np([zoom], [r[0]], [r[3]])
+        _w, _s, e, n = _cells.tile_bounds_np([zoom], [r[1]], [r[2]])
+        return (float(w[0]), float(s[0]), float(e[0]), float(n[0]))
+
+    def projected_windows(
+        self,
+        scale: float,
+        crs: str = "epsg:4326",
+        bounds: tuple[float, float, float, float] | None = None,
+        in_crs: str = "epsg:4326",
+        window_size: int = 256,
+        native_zoom: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """The output-CRS/scale export grid, resampled DISTRIBUTED — the
+        engine's analog of the reference's projected export
+        (/root/reference/geoproc/server/image.py:162-241): grid shape +
+        affine from functions/grid.py (:183-207 semantics), window loop
+        (:225-241) as a Spark job — windows enumerate in SQL, each window
+        joins ONLY the source tiles it overlaps (corner-derived tile range,
+        exploded + equi-join), and one applyInPandas per window gathers its
+        pixels nearest-neighbor from the native tile grid. Pixels outside
+        the tile set are nodata (mask 0), like the reference's write_mask.
+
+        Returns (windows DataFrame, grid spec dict); rows are
+        (col_off, row_off, win_w, win_h, data ARRAY<ARRAY<DOUBLE>>,
+        mask ARRAY<INT>) — the COG-window table form of the output raster.
+        """
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+        from pyspark.sql import types as T
+
+        from .functions import grid as _grid
+
+        if self.df is None:
+            raise ValueError(
+                "cannot export a boundless (constant) image: no tile bounds "
+                "(reference geoproc/server/image.py:171-178)"
+            )
+        z = native_zoom if native_zoom is not None else self.max_zoom
+        if z is None:
+            z = self.df.agg(F.max("z")).first()[0]
+        if bounds is None:
+            bounds = self.derive_bounds(z)
+            in_crs = "epsg:4326"
+        spec = _grid.export_grid_spec(bounds, scale, in_crs=in_crs, crs=crs)
+        width, height = spec["width"], spec["height"]
+        xsize, _b, ox, _d, nysize, oy = spec["transform"]
+        ysize = -nysize
+        side = int(_math.isqrt(self.n_px))
+        nb = self.n_bands
+        wcols, wrows = _grid.n_windows(width, height, window_size)
+        out_crs = spec["crs"]
+
+        windows = self.df.sparkSession.range(wcols * wrows).selectExpr(
+            "CAST(id AS BIGINT) AS wid",
+            f"CAST((id % {wcols}) * {window_size} AS INT) AS col_off",
+            f"CAST((id DIV {wcols}) * {window_size} AS INT) AS row_off",
+            f"CAST(least({window_size}, {width} - (id % {wcols}) * {window_size}) AS INT) AS win_w",
+            f"CAST(least({window_size}, {height} - (id DIV {wcols}) * {window_size}) AS INT) AS win_h",
+        )
+
+        # explicit (fn, returnType) form: `from __future__ import annotations`
+        # stringifies hints on nested functions, breaking pandas_udf inference
+        def _needed_tiles(col_off, row_off, win_w, win_h):
+            out = []
+            for co, ro, ww, wh in zip(col_off, row_off, win_w, win_h):
+                # corner pixel CENTERS bound the tile range: gx is monotonic
+                # in output col, gy in output row (north-up transform)
+                cs = _np.array([co + 0.5, co + ww - 0.5])
+                rs = _np.array([ro + 0.5, ro + wh - 0.5])
+                xx = ox + _np.repeat(cs, 2) * xsize
+                yy = oy - _np.tile(rs, 2) * ysize
+                lon, lat = _grid.out_xy_to_lonlat(xx, yy, out_crs)
+                tx, ty, _c, _r = _grid.sample_native_pixels(lon, lat, z, side)
+                txs = _np.arange(tx.min(), tx.max() + 1, dtype=_np.int64)
+                tys = _np.arange(ty.min(), ty.max() + 1, dtype=_np.int64)
+                out.append(((txs[:, None] << 32) | tys[None, :]).ravel().tolist())
+            return _pd.Series(out)
+
+        needed_tiles = F.pandas_udf(_needed_tiles, T.ArrayType(T.LongType()))
+
+        wtiles = windows.withColumn(
+            "_pk", F.explode(needed_tiles("col_off", "row_off", "win_w", "win_h"))
+        ).select(
+            "wid", "col_off", "row_off", "win_w", "win_h",
+            F.shiftrightunsigned("_pk", 32).cast("int").alias("x"),
+            (F.col("_pk") % F.lit(1 << 32)).cast("int").alias("y"),
+        )
+        tiles = self.df.filter(F.col("z") == z).select("x", "y", "data", "mask")
+        joined = wtiles.join(tiles, ["x", "y"], "left_outer")
+
+        schema = T.StructType(
+            [
+                T.StructField("col_off", T.IntegerType()),
+                T.StructField("row_off", T.IntegerType()),
+                T.StructField("win_w", T.IntegerType()),
+                T.StructField("win_h", T.IntegerType()),
+                T.StructField("data", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField("mask", T.ArrayType(T.IntegerType())),
+            ]
+        )
+
+        def assemble(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            co = int(pdf["col_off"].iloc[0])
+            ro = int(pdf["row_off"].iloc[0])
+            ww = int(pdf["win_w"].iloc[0])
+            wh = int(pdf["win_h"].iloc[0])
+            cols = ox + (co + _np.arange(ww) + 0.5) * xsize
+            rows = oy - (ro + _np.arange(wh) + 0.5) * ysize
+            X = _np.tile(cols, wh)
+            Y = _np.repeat(rows, ww)
+            lon, lat = _grid.out_xy_to_lonlat(X, Y, out_crs)
+            tx, ty, pc, pr = _grid.sample_native_pixels(lon, lat, z, side)
+            data = _np.zeros((nb, wh * ww), dtype=_np.float64)
+            mask = _np.zeros(wh * ww, dtype=_np.int64)
+            for _, row in pdf.iterrows():
+                if row["data"] is None:
+                    continue
+                sel = (tx == row["x"]) & (ty == row["y"])
+                if not sel.any():
+                    continue
+                src = (pr[sel] * side + pc[sel]).astype(_np.int64)
+                td = _np.asarray([_np.asarray(b) for b in row["data"]])
+                tm = _np.asarray(row["mask"], dtype=_np.int64)
+                data[:, sel] = td[:, src]
+                mask[sel] = tm[src]
+            return _pd.DataFrame(
+                {
+                    "col_off": [co],
+                    "row_off": [ro],
+                    "win_w": [ww],
+                    "win_h": [wh],
+                    "data": [[list(b) for b in data]],
+                    "mask": [mask.tolist()],
+                }
+            )
+
+        out = joined.groupBy("wid").applyInPandas(assemble, schema)
+        return out, spec
+
+    def export_projected(
+        self,
+        path: str,
+        scale: float,
+        crs: str = "epsg:4326",
+        bounds: tuple[float, float, float, float] | None = None,
+        in_crs: str = "epsg:4326",
+        window_size: int = 256,
+    ) -> dict:
+        """Materialize the projected-grid export as a parquet window table
+        plus an `_export_meta.json` sidecar carrying the raster profile the
+        reference writes into the COG header (crs, transform, width/height,
+        band names — server/image.py:211-219). Returns the grid spec."""
+        import json
+        import os
+
+        wdf, spec = self.projected_windows(
+            scale, crs=crs, bounds=bounds, in_crs=in_crs, window_size=window_size
+        )
+        wdf.repartitionByRange("row_off", "col_off").sortWithinPartitions(
+            "row_off", "col_off"
+        ).write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, "_export_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "width": spec["width"],
+                    "height": spec["height"],
+                    "crs": spec["crs"],
+                    "transform": list(spec["transform"]),
+                    "band_names": self.band_names,
+                    "window_size": window_size,
+                },
+                fh,
+            )
+        return spec
 
     def export(self, path: str, partition_zooms: bool = True, rows_per_file: int = 4096) -> None:
         """Materialize to a partitioned parquet tile table — the distributed

@@ -157,6 +157,133 @@ def lsh_topk_values_sql(
     )
 
 
+# ----------------------------------------------------- projected export grid
+_R_MERC = 6378137.0
+
+
+def _merc_fwd(lon, lat):
+    import math
+
+    x = math.radians(lon) * _R_MERC
+    y = math.log(math.tan(math.pi / 4.0 + math.radians(min(max(lat, -85.05112878), 85.05112878)) / 2.0)) * _R_MERC
+    return x, y
+
+
+def export_grid_cases() -> list[tuple[int, tuple[float, float, float, float], float, str]]:
+    """The deterministic (grid_id, lonlat bounds, scale, out_crs) fixture
+    shared by the Spark query and this oracle: a bbox around each hot
+    center, alternating output CRS, varying scale."""
+    cases = []
+    for i, (_name, lat_s, lon_s) in enumerate(synth.HOT_CENTERS):
+        lat, lon = lat_s / 1e4, lon_s / 1e4
+        bounds = (lon - 2.0, lat - 1.5, lon + 2.0, lat + 1.5)
+        crs = "epsg:3857" if i % 2 else "epsg:4326"
+        cases.append((i, bounds, 500.0 * (i + 1), crs))
+    return cases
+
+
+def export_grid_values_sql() -> str:
+    """Expected grid-spec rows — a twin of the reference's export grid
+    derivation (geoproc/server/image.py:183-207). The GRID MATH (projected-
+    vs-geographic CRS selection, round(span/scale) shape, from_bounds
+    affine) is re-derived independently here; the point PROJECTION goes
+    through the engine's pinned kernel cells.transform_bounds — the shared-
+    kernel precedent of ivf's centroids_np, because scalar-libm vs
+    numpy-SIMD mercator differ in the last ulp and the oracle must pin the
+    engine's semantics, not the host libm's lane dispatch."""
+    from ..functions import cells as _cells
+
+    rows = []
+    for gid, bounds, scale, crs in export_grid_cases():
+        pb = _cells.transform_bounds(bounds, src="epsg:4326", dst="epsg:3857")
+        width = round((pb[2] - pb[0]) / scale)
+        height = round((pb[3] - pb[1]) / scale)
+        ob = pb if crs == "epsg:3857" else bounds
+        xsize = (ob[2] - ob[0]) / width
+        ysize = (ob[3] - ob[1]) / height
+        # doubles as string literals -> exact round-trip (DuckDB DECIMAL rule)
+        rows.append(
+            f"({gid}, '{crs}', {width}, {height}, "
+            f"'{xsize!r}', '{ysize!r}', '{ob[0]!r}', '{ob[3]!r}')"
+        )
+    return (
+        "SELECT CAST(grid_id AS INT) AS grid_id, CAST(crs AS VARCHAR) AS crs, "
+        "CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, "
+        "CAST(xsize AS DOUBLE) AS xsize, CAST(ysize AS DOUBLE) AS ysize, "
+        "CAST(west AS DOUBLE) AS west, CAST(north AS DOUBLE) AS north "
+        f"FROM (VALUES {', '.join(rows)}) AS t(grid_id, crs, width, height, xsize, ysize, west, north)"
+    )
+
+
+def export_projected_values_sql(scale: float = 400000.0, window_size: int = 32) -> str:
+    """Expected per-(window, band) digests of the projected export of
+    fixture image A — an independent numpy resampler: derive the grid from
+    the tile-set bounds, sample every output pixel center nearest-neighbor
+    from the closed-form fixture pixels (synth.tile_pixels_np), digest as
+    (n_valid, position-weighted checksum). Integer-exact throughout."""
+    import math
+
+    z, side = synth.TILE_Z, int(math.isqrt(synth.TILE_PX))
+    nb = synth.TILE_BANDS["A"]
+    x0, x1 = synth.TILE_XRANGE["A"]
+    n = 1 << z
+    # tile-set lonlat bounds (slippy formulas, own derivation)
+    west = x0 / n * 360.0 - 180.0
+    east = (x1 + 1) / n * 360.0 - 180.0
+    north = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * 0 / n))))
+    south = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * 4 / n))))
+    px0, py0 = _merc_fwd(west, south)
+    px1, py1 = _merc_fwd(east, north)
+    width = round((px1 - px0) / scale)
+    height = round((py1 - py0) / scale)
+    xsize = (east - west) / width
+    ysize = (north - south) / height
+
+    tiles = synth.tile_pixels_np("A")
+    rows = []
+    wcols = (width + window_size - 1) // window_size
+    wrows = (height + window_size - 1) // window_size
+    for wr in range(wrows):
+        for wc in range(wcols):
+            co, ro = wc * window_size, wr * window_size
+            ww = min(window_size, width - co)
+            wh = min(window_size, height - ro)
+            nv = 0
+            chk = [0] * nb
+            for i in range(wh * ww):
+                r, c = divmod(i, ww)
+                lon = west + (co + c + 0.5) * xsize
+                lat = north - (ro + r + 0.5) * ysize
+                lat_c = min(max(lat, -85.05112878), 85.05112878)
+                gx = int(math.floor((lon + 180.0) / 360.0 * n * side))
+                rad = math.radians(lat_c)
+                gy = int(
+                    math.floor(
+                        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+                        / 2.0 * n * side
+                    )
+                )
+                gx = min(max(gx, 0), n * side - 1)
+                gy = min(max(gy, 0), n * side - 1)
+                t = tiles.get((z, gx // side, gy // side))
+                if t is None:
+                    continue
+                src = (gy % side) * side + (gx % side)
+                if t[1][src] == 255:
+                    nv += 1
+                for b in range(nb):
+                    chk[b] += int(t[0][b, src]) * (i + 1)
+            for b in range(nb):
+                rows.append(f"({co}, {ro}, {ww}, {wh}, {b}, {nv}, {chk[b]})")
+    return (
+        "SELECT CAST(col_off AS INT) AS col_off, CAST(row_off AS INT) AS row_off, "
+        "CAST(win_w AS INT) AS win_w, CAST(win_h AS INT) AS win_h, "
+        "CAST(band_idx AS INT) AS band_idx, CAST(n_valid AS BIGINT) AS n_valid, "
+        "CAST(checksum AS BIGINT) AS checksum "
+        f"FROM (VALUES {', '.join(rows)}) AS t(col_off, row_off, win_w, win_h, band_idx, n_valid, checksum)"
+    )
+
+
 def multimodal_features_values_sql(n: int = 200) -> str:
     """Expected feature rows from the stdlib/numpy codec twin
     (operators/multimodal.numpy_oracle_features)."""

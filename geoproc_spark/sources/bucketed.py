@@ -28,7 +28,21 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Materialize `df` as a bucketed managed table (overwrites)."""
+    """Materialize `df` as a bucketed managed table (overwrites).
+
+    Re-run safe across sessions: a managed table whose warehouse directory
+    survived a previous session (catalog entry gone, files present) makes
+    saveAsTable fail with LOCATION_ALREADY_EXISTS — drop the catalog entry
+    AND clear a derelict location first."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
