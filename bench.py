@@ -155,8 +155,10 @@ def main() -> None:
         "corpus_quality_filter",
         "embedding_neardup",
         "ann_cosine_topk",
+        "ann_lsh_topk",
         "tile_algebra",
         "tile_render",
+        "tile_export_projected",
         "geo_extract_html",
         "tpch_q1",
         "tpch_q3",

@@ -218,12 +218,15 @@ def connected_components(ids: DataFrame, pairs: DataFrame, max_rounds: int = 16)
 
     # edges are re-joined EVERY round: persist them, or each iteration
     # re-executes the caller's whole pair-generation lineage (LSH + jaccard
-    # refine) — measured 4x the total wall without this
+    # refine) — measured 4x the total wall without this. Persisted ALREADY
+    # HASH-PARTITIONED on the join key (src): the cached partitioning is
+    # reused by every round's join, so the biggest table in the loop
+    # shuffles once total instead of once per round.
     edges = swap_cache(
         "cc_edges",
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-        ),
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .repartition("src"),
     )
     labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
     prev = None
