@@ -583,7 +583,14 @@ class Image:
             (F.col("_pk") % F.lit(1 << 32)).cast("int").alias("y"),
         )
         tiles = self.df.filter(F.col("z") == z).select("x", "y", "data", "mask")
-        joined = wtiles.join(tiles, ["x", "y"], "left_outer")
+        # the window-tile list is the SMALL side (windows x tiles-per-window
+        # keys, no pixel payloads) — broadcast it so the big tile table
+        # never shuffles for the join; the only Exchange left is the
+        # per-window gather. A broadcast side cannot be the preserved side
+        # of an outer join, so tile-less windows (possible when the export
+        # bounds exceed the tile set) are emitted separately below as
+        # all-nodata windows built in pure SQL.
+        joined = F.broadcast(wtiles).join(tiles, ["x", "y"], "inner")
 
         schema = T.StructType(
             [
@@ -631,8 +638,20 @@ class Image:
                 }
             )
 
-        out = joined.groupBy("wid").applyInPandas(assemble, schema)
-        return out, spec
+        assembled = joined.groupBy("wid").applyInPandas(assemble, schema)
+        # windows whose tile range matched nothing: all-nodata, pure SQL
+        empty = (
+            windows.join(joined.select("wid").distinct(), "wid", "left_anti")
+            .selectExpr(
+                "col_off",
+                "row_off",
+                "win_w",
+                "win_h",
+                f"array_repeat(array_repeat(CAST(0.0 AS DOUBLE), win_w * win_h), {nb}) AS data",
+                "array_repeat(0, win_w * win_h) AS mask",
+            )
+        )
+        return assembled.unionByName(empty), spec
 
     def export_projected(
         self,

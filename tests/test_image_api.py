@@ -225,3 +225,53 @@ def test_from_array_ingest_roundtrip(spark, tmp_path):
     for (x, y), m in gm.items():
         ty, tx = y - 2, x - 3
         assert np.array_equal(m, pm[ty * side : (ty + 1) * side, tx * side : (tx + 1) * side].ravel())
+
+
+def test_export_projected_3857_output_and_broadcast_plan(spark, tmp_path):
+    """(a) EPSG:3857 output grid: pixel centers run through the inverse
+    mercator before sampling — golden vs the numpy twin on one window.
+    (b) Plan: the window-tile list broadcasts (the big tile table never
+    shuffles for the join); (c) windows beyond the tile set come back as
+    all-nodata rows."""
+    import math
+
+    import numpy as np
+
+    from geoproc_spark.functions import grid as G
+
+    img = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    # bounds WIDER than the tile set (x 0..3 only): right half has no tiles
+    bounds = img.derive_bounds(synth.TILE_Z)
+    wide = (bounds[0], bounds[1], 90.0, bounds[3])
+    wdf, spec = img.projected_windows(
+        scale=1500000.0, crs="epsg:3857", bounds=wide, window_size=8
+    )
+    plan = wdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    rows = wdf.collect()
+    a, _b, c, _d, e, f = spec["transform"]
+    tiles = synth.tile_pixels_np("A")
+    side = int(math.isqrt(synth.TILE_PX))
+    n_empty = 0
+    for r in rows:
+        gd, gm = np.array(r.data), np.array(r.mask)
+        X = c + (r.col_off + np.arange(r.win_w) + 0.5) * a
+        Y = f + (r.row_off + np.arange(r.win_h) + 0.5) * e
+        lon, lat = G.out_xy_to_lonlat(np.tile(X, r.win_h), np.repeat(Y, r.win_w), "epsg:3857")
+        tx, ty, pc, pr = G.sample_native_pixels(lon, lat, synth.TILE_Z, side)
+        want_d = np.zeros((synth.TILE_BANDS["A"], r.win_h * r.win_w))
+        want_m = np.zeros(r.win_h * r.win_w, dtype=np.int64)
+        hit = False
+        for i in range(r.win_h * r.win_w):
+            t = tiles.get((synth.TILE_Z, int(tx[i]), int(ty[i])))
+            if t is None:
+                continue
+            hit = True
+            src = int(pr[i]) * side + int(pc[i])
+            want_d[:, i] = t[0][:, src]
+            want_m[i] = t[1][src]
+        assert np.array_equal(gd, want_d), (r.col_off, r.row_off)
+        assert np.array_equal(gm, want_m), (r.col_off, r.row_off)
+        n_empty += (not hit)
+    assert n_empty > 0  # the widened bounds really produced nodata windows
