@@ -195,7 +195,9 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def connected_components(ids: DataFrame, pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+def connected_components(
+    ids: DataFrame, pairs: DataFrame, max_rounds: int = 16, check_every: int = 2
+) -> DataFrame:
     """(doc_id, component) where component = min doc_id reachable through
     the pair graph — the canonical-document assignment after near-dup
     pairing (every doc appears; singletons map to themselves).
@@ -208,11 +210,14 @@ def connected_components(ids: DataFrame, pairs: DataFrame, max_rounds: int = 16)
     large-star/small-star CC, sufficient here and honest about its bound
     (max_rounds guards pathological chains).
 
-    Convergence is checked FUSED into the round (VERDICT r02): the round's
-    left join keeps the previous label alongside the new one, so "did any
-    label change" is a filter over the already-persisted round output — no
-    second label-table join per round. One Spark job per round instead of
-    the join+groupBy twice.
+    Convergence is checked FUSED into the round (VERDICT r02): the batch's
+    join keeps the batch-entry label alongside the new one, so "did any
+    label change" is a filter over the already-persisted batch output — no
+    second label-table join. `check_every` propagation rounds run LAZILY
+    inside one Spark job between checks (labels only decrease, so
+    comparing against the batch-entry label still detects any change):
+    same shuffle work, half the driver round-trips — at local fixture
+    scale the loop is scheduling-latency-bound, not data-bound.
     """
     from ._cache import swap_cache
 
@@ -230,38 +235,50 @@ def connected_components(ids: DataFrame, pairs: DataFrame, max_rounds: int = 16)
     )
     labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
     prev = None
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("component").alias("nbr"))
+    done = 0
+    while done < max_rounds:
+        batch = min(check_every, max_rounds - done)
+        cur = labels.select(
+            "doc_id", "component", F.col("component").alias("_old")
         )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left_outer")
-            .select(
+        for _ in range(batch):
+            # USING-join on a renamed key, never `edges.src == cur.doc_id`:
+            # in the second lazy round `cur`'s lineage already CONTAINS
+            # `edges`, and cross-lineage attribute references resolve
+            # ambiguously in a self-referencing plan (observed as a
+            # degenerate join -> OOM on a 12-node chain)
+            nbr_min = (
+                edges.withColumnRenamed("src", "doc_id")
+                .join(cur.select("doc_id", "component"), "doc_id")
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("component").alias("nbr"))
+            )
+            cur = cur.join(nbr_min, "doc_id", "left_outer").select(
                 "doc_id",
                 F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
                     "component"
                 ),
-                F.col("component").alias("_old"),
+                "_old",
             )
-            .persist()
-        )
-        # labels only ever decrease, so `< _old` == "changed"; the filter
-        # scans the persisted round output (materializing it) — the fused
-        # convergence check, no extra join
-        stable = new_labels.filter(F.col("component") < F.col("_old")).isEmpty()
-        if prev is not None:
-            prev.unpersist()
-        prev = new_labels
-        labels = new_labels.drop("_old")
+        # localCheckpoint (eager), NOT persist: each batch references the
+        # previous labels TWICE (nbr_min + outer join), so the LOGICAL plan
+        # doubles per round — persist caches data but not the plan, and a
+        # diameter-d graph OOMs the driver during analysis at ~2^d nodes
+        # (found by the chain test). The checkpoint truncates lineage to a
+        # leaf, keeping plan size CONSTANT per batch; blocks are released
+        # on GC and bounded by max_rounds label tables (tiny rows).
+        cur = cur.localCheckpoint()
+        # labels only ever decrease, so `< _old` == "changed across the
+        # batch" — the fused convergence check, no extra join
+        stable = cur.filter(F.col("component") < F.col("_old")).isEmpty()
+        prev = cur
+        labels = cur.drop("_old")
+        done += batch
         if stable:
             break
-    # hand the final persisted round output to the bounded registry (the
-    # next connected_components call releases it); the returned projection
-    # reads from that cache — no second copy
+    # the final labels are backed by an eager localCheckpoint (already
+    # materialized, lineage truncated) — no persist registry entry needed
     if prev is not None:
-        swap_cache("cc_labels", prev)
         return prev.drop("_old")
     return swap_cache("cc_labels", labels)  # max_rounds == 0 degenerate
 

@@ -243,3 +243,15 @@ def test_short_docs_have_no_signature_and_stay_singleton(spark):
     pairs = dd.lsh_candidate_pairs(docs, synth.minhash_perms())
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (1, 2) not in got  # short docs never pair via the empty bucket
+
+
+def test_connected_components_long_chain(spark):
+    """Robustness beyond near-clique dup graphs: a diameter-11 path graph
+    converges to one component within max_rounds, exercising multiple
+    check batches (check_every=2) and the batched fused convergence."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.component for r in dd.connected_components(ids, pairs).collect()}
+    assert out == {i: 0 for i in range(12)}
