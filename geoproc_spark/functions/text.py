@@ -77,6 +77,41 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    duplicate-token mass and the share of the most frequent 2-gram — the
+    standard removal rules for boilerplate/looping text. Integer-exact:
+    `n_dup_tokens` = n_tokens - n_distinct, `top_bigram_n` = occurrence
+    count of the modal bigram (0 for docs with < 2 tokens). All JVM
+    higher-order expressions, zero shuffle."""
+    toks = tokens(text)
+    bigrams = F.expr(shingles_sql_spark("split(text, ' ')", 2, distinct=False))
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    return {
+        "n_tokens": F.size(toks).cast("bigint"),
+        "n_dup_tokens": (F.size(toks) - F.size(F.array_distinct(toks))).cast("bigint"),
+        "top_bigram_n": F.coalesce(top_bigram, F.lit(0)).cast("bigint"),
+    }
+
+
+def split_assign(key: Column, val_pct: int = 1, test_pct: int = 1) -> Column:
+    """Deterministic train/val/test assignment from a portable md5 bucket
+    of a stable key (url/doc id) — the standard leakage-safe corpus split:
+    the same key lands in the same split on every engine and every run.
+    Bucket = first 8 md5 hex digits mod 100."""
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 100
+    return (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def lang_pred(n_stop: Column, n_tokens: Column) -> Column:
     """Heuristic language id: >= 5% pinned-stopword mass -> 'en'.
 

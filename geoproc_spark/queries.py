@@ -1302,6 +1302,98 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAMS_DUCK = TX.shingles_sql_duckdb("string_split(text, ' ')", 2, distinct=False)
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS arr FROM documents),
+m AS (SELECT doc_id,
+             len(arr) AS n_tokens,
+             len(arr) - len(list_distinct(arr)) AS n_dup,
+             coalesce(list_max(list_transform(list_distinct({_BIGRAMS_DUCK}),
+                      g -> len(list_filter({_BIGRAMS_DUCK}, x -> x = g)))), 0) AS top_bg
+      FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_dup AS BIGINT) AS n_dup_tokens,
+       CAST(top_bg AS BIGINT) AS top_bigram_n,
+       CAST(CASE WHEN n_dup * 10 < n_tokens * 3
+                  AND top_bg * 5 <= greatest(n_tokens - 1, 1) THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition removal (Rae et al. 2021 §A1.1): duplicate
+    -token mass < 30% AND modal-bigram share <= 20% — the standard
+    boilerplate/looping-text gate of a web-corpus pipeline. Integer-exact
+    cross-multiplied rules, zero-shuffle JVM higher-order expressions."""
+    synth.load_tables(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    m = TX.repetition_metrics(F.col("text"))
+    n, dup, top = m["n_tokens"], m["n_dup_tokens"], m["top_bigram_n"]
+    keep = (
+        (dup * 10 < n * 3) & (top * 5 <= F.greatest(n - 1, F.lit(1)))
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup.alias("n_dup_tokens"),
+        top.alias("top_bigram_n"),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "corpus_split_assign",
+    """
+WITH t AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN b < 1 THEN 'val' WHEN b < 2 THEN 'test' ELSE 'train' END AS split
+FROM t
+""",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split (98/1/1) from a
+    portable md5 bucket of the stable doc key — identical assignment on
+    every engine, every run, every cluster size (functions/text.split_assign)."""
+    synth.load_tables(spark, sf_dir, ["documents"])
+    return spark.table("documents").select(
+        "doc_id",
+        TX.split_assign(F.col("doc_id").cast("string")).alias("split"),
+    )
+
+
+@query(
+    "corpus_domain_stats",
+    f"""
+WITH pages AS ({synth.pages_sql()})
+SELECT split_part(url, '/', 3) AS domain,
+       count(*) AS n_pages,
+       CAST(sum(has_geo) AS BIGINT) AS n_geo,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM pages GROUP BY split_part(url, '/', 3)
+""",
+)
+def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting (crawl-ops staple): pages, geo-tagged
+    pages, distinct languages per host. The geo count comes from the ENGINE
+    extraction path (Arrow UDF over text), never the ground-truth column;
+    the domain from split_part on the url — one hash aggregate."""
+    pts = _pages_with_coords(spark, sf_dir)
+    return (
+        pts.groupBy(F.split_part(F.col("url"), F.lit("/"), F.lit(3)).alias("domain"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count("lat").cast("bigint").alias("n_geo"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
+
+
 # ------------------------------------------------------- projected export grid
 @query("tile_export_grid")  # oracle: independent scalar-python twin -> VALUES
 def tile_export_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -255,3 +255,40 @@ def test_connected_components_long_chain(spark):
     )
     out = {r.doc_id: r.component for r in dd.connected_components(ids, pairs).collect()}
     assert out == {i: 0 for i in range(12)}
+
+
+def test_repetition_filter_drops_looping_text(spark):
+    """The Gopher-style gate: a doc that is one phrase looping must be
+    dropped; normal prose passes; a doc made of one repeated token is
+    caught by the duplicate-token rule."""
+    from geoproc_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now click here buy now click here buy now click here buy now"),
+            (2, "the quick brown fox jumps over a lazy dog near the river bank today"),
+            (3, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    m = TX.repetition_metrics(F.col("text"))
+    n, dup, top = m["n_tokens"], m["n_dup_tokens"], m["top_bigram_n"]
+    keep = ((dup * 10 < n * 3) & (top * 5 <= F.greatest(n - 1, F.lit(1)))).cast("int")
+    out = {r.doc_id: r.keep for r in docs.select("doc_id", keep.alias("keep")).collect()}
+    assert out == {1: 0, 2: 1, 3: 0}
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    """Same key -> same split across sessions/engines (md5-portable), and
+    the 98/1/1 buckets are roughly proportional over 5k keys."""
+    from geoproc_spark.functions import text as TX
+
+    df = spark.range(5000).select(
+        F.col("id"), TX.split_assign(F.col("id").cast("string")).alias("split")
+    )
+    counts = {r.split: r["count"] for r in df.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 4700
+    assert 20 < counts["val"] < 100 and 20 < counts["test"] < 100
+    again = {r.id: r.split for r in df.collect()}
+    assert again == {r.id: r.split for r in df.collect()}  # stable re-eval
