@@ -1302,6 +1302,42 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TIERS = [(i, i * 300, i * 300 + 700) for i in range(16)]  # overlapping
+
+
+def range_tiers_values_sql() -> str:
+    rows = ", ".join(f"({t}, {lo}, {hi})" for t, lo, hi in RANGE_TIERS)
+    return f"SELECT * FROM (VALUES {rows}) AS t(tier_id, lo, hi)"
+
+
+@query(
+    "events_range_join",
+    f"""
+WITH tiers AS ({range_tiers_values_sql()}),
+ev AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+SELECT ev.event_id AS event_id, CAST(t.tier_id AS INT) AS tier_id
+FROM ev JOIN tiers t ON ev.vc >= t.lo AND ev.vc <= t.hi
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketization (operators/rangejoin.py):
+    event value-cents against overlapping tier intervals, many-to-many.
+    A naive inequality join would plan as BroadcastNestedLoop (plan test
+    pins that it does NOT); the bucketized form is an ordinary equi-join.
+    The oracle is the naive inequality join — same rows, different plan."""
+    from .operators import rangejoin as rj
+
+    synth.load_tables(spark, sf_dir, ["events"])
+    ev = spark.table("events").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    tiers = spark.createDataFrame(RANGE_TIERS, "tier_id int, lo long, hi long")
+    return rj.range_join(ev, tiers, "vc", "lo", "hi", bucket_width=256).select(
+        "event_id", "tier_id"
+    )
+
+
 _BIGRAMS_DUCK = TX.shingles_sql_duckdb("string_split(text, ' ')", 2, distinct=False)
 
 

@@ -278,3 +278,29 @@ def test_asof_join_atomic_carry_and_null_guards(spark):
     assert out["b"] == (None, None)  # NULL-ts right is not a match
     assert out["c"] == (None, None)  # NULL-ts left: no right.ts <= NULL
     assert out["d"] == (None, None)  # NULL keys never join-equal (rid=8 excluded)
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The bucketized range join must plan as a hash equi-join, never the
+    BroadcastNestedLoop/cartesian a raw inequality condition produces —
+    that is its entire reason to exist. Rows must equal the naive join."""
+    from geoproc_spark.operators import rangejoin as rj
+
+    left = spark.range(2000).select(
+        F.col("id").alias("event_id"), (F.col("id") * 7 % 5000).alias("vc")
+    )
+    tiers = spark.createDataFrame(
+        [(i, i * 300, i * 300 + 700) for i in range(16)], "tier_id int, lo long, hi long"
+    )
+    out = rj.range_join(left, tiers, "vc", "lo", "hi", bucket_width=256)
+    plan = _plan(out)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+    got = {(r.event_id, r.tier_id) for r in out.select("event_id", "tier_id").collect()}
+    naive = left.join(
+        tiers, (F.col("vc") >= F.col("lo")) & (F.col("vc") <= F.col("hi"))
+    )
+    want = {(r.event_id, r.tier_id) for r in naive.select("event_id", "tier_id").collect()}
+    assert got == want and len(got) > 2000  # overlapping tiers: many-to-many
