@@ -167,6 +167,10 @@ def main() -> None:
         "events_hourly",
         "events_sessions",
         "events_top3_per_user",
+        "events_rollup",
+        "events_range_join",
+        "text_repetition_filter",
+        "corpus_split_assign",
     ]:
         # min of 2: the shared host shows one-sided interference bursts
         # (load >5 observed on an otherwise idle box; a single sample can

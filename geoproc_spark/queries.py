@@ -1302,6 +1302,42 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rollup",
+    """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(grouping(CAST(ts AS DATE)) * 2 + grouping(event_type) AS INT) AS lvl,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (CAST(ts AS DATE)), ())
+""",
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (the hypertable continuous-aggregate
+    shape): (day, type) -> (day) -> grand total in ONE pass via GROUPING
+    SETS — Catalyst expands the sets over a single shuffle instead of three
+    scans; `lvl` (from grouping()) disambiguates the NULL-keyed subtotal
+    rows. Integer-exact cents keep the hash portable."""
+    synth.load_tables(spark, sf_dir, ["events"])
+    day = F.to_date(F.col("ts"))  # DATE on both engines (UTC session TZ)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return (
+        spark.table("events")
+        .select(day.alias("day"), "event_type", cents.alias("_c"))
+        .groupingSets(
+            [[F.col("day"), F.col("event_type")], [F.col("day")], []],
+            F.col("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            (F.grouping("day") * 2 + F.grouping("event_type")).cast("int").alias("lvl"),
+            F.count("*").alias("n"),
+            F.sum("_c").cast("bigint").alias("cents"),
+        )
+    )
+
+
 RANGE_TIERS = [(i, i * 300, i * 300 + 700) for i in range(16)]  # overlapping
 
 
