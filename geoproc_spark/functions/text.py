@@ -77,15 +77,24 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
-def repetition_metrics(text: Column) -> dict[str, Column]:
+def repetition_metrics(text: Column, bigrams: Column | None = None) -> dict[str, Column]:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
     duplicate-token mass and the share of the most frequent 2-gram — the
     standard removal rules for boilerplate/looping text. Integer-exact:
     `n_dup_tokens` = n_tokens - n_distinct, `top_bigram_n` = occurrence
     count of the modal bigram (0 for docs with < 2 tokens). All JVM
-    higher-order expressions, zero shuffle."""
+    higher-order expressions, zero shuffle.
+
+    PASS `bigrams` as a pre-projected COLUMN (one `.select` earlier with
+    shingles_sql_spark(k=2, distinct=False)): the modal count nests a
+    filter inside a transform, and if `bigrams` is an inline expression
+    tree Catalyst re-evaluates the whole bigram CONSTRUCTION per outer
+    element — O(n^2) string builds per row, measured ~100x slower. A column
+    reference evaluates once per row; the nested pass is then just n
+    string compares per distinct bigram."""
     toks = tokens(text)
-    bigrams = F.expr(shingles_sql_spark("split(text, ' ')", 2, distinct=False))
+    if bigrams is None:
+        bigrams = F.expr(shingles_sql_spark("split(text, ' ')", 2, distinct=False))
     top_bigram = F.array_max(
         F.transform(
             F.array_distinct(bigrams),

@@ -1402,8 +1402,14 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/looping-text gate of a web-corpus pipeline. Integer-exact
     cross-multiplied rules, zero-shuffle JVM higher-order expressions."""
     synth.load_tables(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
-    m = TX.repetition_metrics(F.col("text"))
+    # bigram array materialized as a COLUMN first — see repetition_metrics:
+    # an inline expression would be re-built per outer lambda element
+    docs = dd.spread(spark.table("documents")).selectExpr(
+        "doc_id",
+        "text",
+        TX.shingles_sql_spark("split(text, ' ')", 2, distinct=False) + " AS _bg",
+    )
+    m = TX.repetition_metrics(F.col("text"), bigrams=F.col("_bg"))
     n, dup, top = m["n_tokens"], m["n_dup_tokens"], m["top_bigram_n"]
     keep = (
         (dup * 10 < n * 3) & (top * 5 <= F.greatest(n - 1, F.lit(1)))
