@@ -639,9 +639,18 @@ class Image:
             )
 
         assembled = joined.groupBy("wid").applyInPandas(assemble, schema)
-        # windows whose tile range matched nothing: all-nodata, pure SQL
+        # windows whose tile range matched nothing: all-nodata, pure SQL.
+        # Matched wids come from a KEY-ONLY semi-join (x,y pruned at the
+        # scan) — deriving them from `joined` would re-execute the full
+        # payload join a second time just to list window ids.
+        matched = (
+            F.broadcast(wtiles)
+            .join(tiles.select("x", "y"), ["x", "y"], "left_semi")
+            .select("wid")
+            .distinct()
+        )
         empty = (
-            windows.join(joined.select("wid").distinct(), "wid", "left_anti")
+            windows.join(matched, "wid", "left_anti")
             .selectExpr(
                 "col_off",
                 "row_off",
