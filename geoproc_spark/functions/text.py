@@ -85,21 +85,48 @@ def repetition_metrics(text: Column, bigrams: Column | None = None) -> dict[str,
     count of the modal bigram (0 for docs with < 2 tokens). All JVM
     higher-order expressions, zero shuffle.
 
+    The modal count is LINEAR-ish, not quadratic: sort the bigram array and
+    take the longest equal-run with one `aggregate` fold — O(L log L)
+    comparisons per row, all JVM. (The previous distinct x filter nest was
+    O(distinct*L) string compares per row: a 100k-token doc meant ~10^10
+    compares in one task — a guaranteed straggler at corpus scale.)
+
     PASS `bigrams` as a pre-projected COLUMN (one `.select` earlier with
-    shingles_sql_spark(k=2, distinct=False)): the modal count nests a
-    filter inside a transform, and if `bigrams` is an inline expression
-    tree Catalyst re-evaluates the whole bigram CONSTRUCTION per outer
-    element — O(n^2) string builds per row, measured ~100x slower. A column
-    reference evaluates once per row; the nested pass is then just n
-    string compares per distinct bigram."""
+    shingles_sql_spark(k=2, distinct=False)) when the input is large:
+    `array_sort` evaluates its argument once, but the fallback built here
+    from `text` still pays a few redundant `split` evaluations per row."""
     toks = tokens(text)
     if bigrams is None:
-        bigrams = F.expr(shingles_sql_spark("split(text, ' ')", 2, distinct=False))
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-        )
+        # Built from the passed Column (not a hardcoded column name).
+        # zip_with's array arguments are materialized ONCE (they are plain
+        # expressions, not re-evaluated per element like HOF lambda bodies),
+        # so this is O(L) construction: pair each token with its successor.
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+    run = lambda acc, x: F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+        F.lit(1)
+    )
+    top_bigram = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+            run(acc, x).alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
     )
     return {
         "n_tokens": F.size(toks).cast("bigint"),

@@ -643,9 +643,13 @@ class Image:
         # Matched wids come from a KEY-ONLY semi-join (x,y pruned at the
         # scan) — deriving them from `joined` would re-execute the full
         # payload join a second time just to list window ids.
+        # Broadcast the key-only RIGHT side: Spark can only build the
+        # non-preserved side of a left-semi join, so hinting the left
+        # (preserved) side is rejected with a WARN and both sides shuffle.
         matched = (
-            F.broadcast(wtiles)
-            .join(tiles.select("x", "y"), ["x", "y"], "left_semi")
+            wtiles.join(
+                F.broadcast(tiles.select("x", "y")), ["x", "y"], "left_semi"
+            )
             .select("wid")
             .distinct()
         )

@@ -75,23 +75,36 @@ def doc_shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
 def minhash_signatures(docs: DataFrame, perms: list[tuple[int, int, int]]) -> DataFrame:
     """Wide signature row per doc: (doc_id, mh0..mh{n-1}).
 
-    ZERO shuffles: each permutation's minimum folds over the per-row
-    shingle-hash array with array_min(transform(...)) — all n signatures
-    are per-row expressions inside one whole-stage-codegen'd project.
-    (Profiled 2.7x faster than the previous single-groupBy form, which was
-    itself chosen over the explode-x-n shape; the shuffle of |doc| x
-    |shingles| rows is gone entirely.)"""
-    mins = [
-        f"array_min(transform(h, x -> ({a}L * x + {b}L) % {TX.H32_P}L)) AS mh{p}"
-        for p, a, b in perms
-    ]
+    ZERO shuffles, ONE pass (VERDICT r03): a single aggregate() fold
+    carries all n minima in one array accumulator — per shingle hash x,
+    zip_with pairs each running minimum with its (a, b) permutation params
+    (a constant-folded literal struct array) and takes
+    least(m, (a*x + b) % P). Replaces n separate
+    array_min(transform(...)) folds (n passes over the shingle array per
+    row — the same single-accumulator trick that cut SimHash 40%).
+    a*x stays in int64: a < 2^31, x < 2^32 -> a*x < 2^63 (same bound the
+    DuckDB oracle's arithmetic relies on).
+
+    The per-perm columns unpack from the fold in a SECOND projection;
+    CollapseProject leaves it split because the fold alias is non-cheap and
+    referenced n times (inlining would re-run the fold per column)."""
+    n = len(perms)
+    pstructs = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for _, a, b in perms)
+    fold = (
+        f"aggregate(h, array_repeat({TX.H32_P}L, {n}), "
+        f"(acc, x) -> zip_with(acc, array({pstructs}), "
+        f"(m, p) -> least(m, (p.a * x + p.b) % {TX.H32_P}L)))"
+    )
+    cols = [f"element_at(mins, {p + 1}) AS mh{p}" for p, _, _ in perms]
     return (
         docs.selectExpr("doc_id", f"{_shingle_h32_expr()} AS h")
-        # docs too short to shingle have NO signature (array_min(empty) is
-        # NULL; the exploded/oracle form produces no rows for them) — drop,
-        # or every short doc would share the all-NULL band key
+        # docs too short to shingle have NO signature (the fold over an
+        # empty array returns the all-P init; the exploded/oracle form
+        # produces no rows for them) — drop, or every short doc would
+        # share one degenerate band key
         .filter("size(h) > 0")
-        .selectExpr("doc_id", *mins)
+        .selectExpr("doc_id", f"{fold} AS mins")
+        .selectExpr("doc_id", *cols)
     )
 
 

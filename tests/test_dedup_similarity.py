@@ -278,6 +278,58 @@ def test_repetition_filter_drops_looping_text(spark):
     assert out == {1: 0, 2: 1, 3: 0}
 
 
+def test_repetition_modal_count_matches_bruteforce(spark):
+    """The sorted-run-length modal-bigram count equals the brute-force
+    Counter answer on randomized docs — and works on a column NOT named
+    'text' (the fallback used to hardcode the name)."""
+    import random
+    from collections import Counter
+
+    from geoproc_spark.functions import text as TX
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def oracle(s: str) -> int:
+        t = s.split(" ") if s else []
+        bgs = [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return max(Counter(bgs).values()) if bgs else 0
+
+    docs = spark.createDataFrame(rows, "doc_id long, body string")
+    m = TX.repetition_metrics(F.col("body"))
+    got = {
+        r.doc_id: r.top
+        for r in docs.select("doc_id", m["top_bigram_n"].alias("top")).collect()
+    }
+    assert got == {i: oracle(s) for i, s in rows}
+
+
+def test_repetition_long_doc_is_not_quadratic(spark):
+    """A 100k-token doc with ~50k distinct bigrams: the old
+    distinct x filter nest needed ~5*10^9 string compares (minutes in one
+    task); the sorted run-length fold must finish in seconds."""
+    import time
+
+    from geoproc_spark.functions import text as TX
+
+    n = 100_000
+    body = " ".join(f"t{i % 50_021}" for i in range(n))
+    docs = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    m = TX.repetition_metrics(F.col("text"))
+    t0 = time.time()
+    row = docs.select(
+        m["top_bigram_n"].alias("top"), m["n_dup_tokens"].alias("dup")
+    ).collect()[0]
+    wall = time.time() - t0
+    assert row.top == 2  # bigram at the 50021-wraparound repeats
+    assert row.dup == n - 50_021
+    assert wall < 30, f"long-doc repetition metrics took {wall:.1f}s"
+
+
 def test_split_assign_deterministic_and_proportional(spark):
     """Same key -> same split across sessions/engines (md5-portable), and
     the 98/1/1 buckets are roughly proportional over 5k keys."""
