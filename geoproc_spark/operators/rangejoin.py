@@ -53,6 +53,14 @@ def range_join(
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    # the helper bucket column must not shadow caller data: withColumn
+    # silently REPLACES an existing column of the same name
+    for side, df_ in (("left", left), ("right", right)):
+        if "_rb" in df_.columns:
+            raise ValueError(
+                f"range_join reserves helper column '_rb' but the {side} "
+                f"input already has it — rename it before joining"
+            )
 
     def bucket(c: Column) -> Column:
         # floor-division bucket, correct for negatives too (floor semantics)

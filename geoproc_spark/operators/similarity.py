@@ -323,6 +323,26 @@ def _banded_sign_codes(n_bands: int, band_bits: int, seed: int):
     return codes
 
 
+class _DropStats:
+    """Hot-bucket-cap drop counter with two read paths. Fast path: a
+    pyspark Observation piggybacking on the pairing job (zero extra work).
+    Fallback: AQE's empty-relation propagation PRUNES the CollectMetrics
+    node whenever the observed subtree collapses to an empty result — the
+    all-buckets-dropped case, exactly where the metric matters most — so on
+    a failed read the count is recomputed exactly with a small aggregate
+    job over the sized-buckets frame."""
+
+    def __init__(self, obs, recompute):
+        self._obs, self._recompute = obs, recompute
+
+    @property
+    def get(self) -> dict:
+        try:
+            return self._obs.get
+        except Exception:
+            return self._recompute()
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -354,7 +374,9 @@ def embedding_near_dups(
       over the cap are DROPPED from pairing — degenerate piles (zero
       vectors, one dominant direction) are exactly where sign-LSH carries
       no information; genuinely near-identical dups still pair through
-      their other bands. None disables the cap.
+      their other bands. None disables the cap. The drop is NOT silent:
+      the returned frame carries `_neardup_drop_observation` (a pyspark
+      Observation) reporting dropped (row, band) entries after any action.
 
     Candidate recall for a pair at cosine c is 1-(1-p^band_bits)^n_bands
     with p = 1 - arccos(c)/pi (~0.985 at c=0.95 with 4x4; -> 1 as c -> 1),
@@ -379,12 +401,30 @@ def embedding_near_dups(
         corpus.select("vec_id", "embedding", codes("embedding").alias("_codes"))
         .select("vec_id", "embedding", F.posexplode("_codes").alias("band_id", "band_code"))
     )
+    dropped_obs = None
     if max_bucket_size is not None:
         # count-over-window on the SAME key the groupBy shuffles on — the
-        # exchange is shared, the filter costs one in-partition sort
+        # exchange is shared, the filter costs one in-partition sort.
+        # The cap's recall loss must be OBSERVABLE (no silent caps): an
+        # Observation counts the (row, band) entries the cap drops; it is
+        # attached to the returned frame as `_neardup_drop_observation`
+        # and readable after any action — `.get["dropped_band_rows"]`.
+        from pyspark.sql import Observation
+
         w = Window.partitionBy("band_id", "band_code")
+        with_sizes = bucketed.withColumn("_bsz", F.count("*").over(w))
+        obs = Observation("embedding_neardup_bucket_cap")
+        drop_exprs = (
+            F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias(
+                "dropped_band_rows"
+            ),
+            F.count(F.lit(1)).alias("band_rows"),
+        )
+        dropped_obs = _DropStats(
+            obs, lambda: with_sizes.select(*drop_exprs).collect()[0].asDict()
+        )
         bucketed = (
-            bucketed.withColumn("_bsz", F.count("*").over(w))
+            with_sizes.observe(obs, *drop_exprs)
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
@@ -404,7 +444,9 @@ def embedding_near_dups(
         return pd.DataFrame({"vec_a": vids[ai], "vec_b": vids[bi]})
 
     pairs = bucketed.groupBy("band_id", "band_code").applyInPandas(pair_gemm, schema)
-    return pairs.distinct()
+    out = pairs.distinct()
+    out._neardup_drop_observation = dropped_obs
+    return out
 
 
 def embedding_near_dups_broadcast(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:

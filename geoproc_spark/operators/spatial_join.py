@@ -117,6 +117,20 @@ def with_covering_cells(poly: DataFrame, zoom: int = DEFAULT_JOIN_ZOOM) -> DataF
 
 
 # ------------------------------------------------------------ the join paths
+_RESERVED_PT_COLS = ("_cell", "_salt", "ring", "feature_id")
+
+
+def _check_reserved(points: DataFrame) -> None:
+    # helper/poly columns must not shadow caller data: withColumn silently
+    # REPLACES a same-named input column and the final drop would eat it
+    clash = [c for c in _RESERVED_PT_COLS if c in points.columns]
+    if clash:
+        raise ValueError(
+            f"spatial join reserves columns {clash} but the points input "
+            f"already has them — rename before joining"
+        )
+
+
 def spatial_join(
     points: DataFrame,
     poly: DataFrame,
@@ -138,6 +152,7 @@ def spatial_join(
     almost always the small side — hint it explicitly; pass False for
     continent-scale layers, where the equi-join shuffles both sides on cell.
     """
+    _check_reserved(points)
     pts = points.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
     pts = pts.withColumn("_cell", cells.cell_id_col(F.col(lat_col), F.col(lon_col), zoom))
 
@@ -194,6 +209,7 @@ def bucketed_spatial_join(
     from ..sources import bucketed as bk
 
     spark = points.sparkSession
+    _check_reserved(points)
     pts = points.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
     pts = pts.withColumn("_cell", cells.cell_id_col(F.col(lat_col), F.col(lon_col), zoom))
     bk.write_bucketed(pts, table, ["_cell"], n_buckets=n_buckets, sort_cols=["_cell"])

@@ -230,8 +230,11 @@ def export_projected_values_sql(scale: float = 400000.0, window_size: int = 32) 
     # tile-set lonlat bounds (slippy formulas, own derivation)
     west = x0 / n * 360.0 - 180.0
     east = (x1 + 1) / n * 360.0 - 180.0
-    north = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * 0 / n))))
-    south = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * 4 / n))))
+    # tile y-range from the shared synth constant (never re-hardcoded: a
+    # fixture y-range change must move the oracle bounds with it)
+    ty0, ty1 = synth.TILE_YRANGE
+    north = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * ty0 / n))))
+    south = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (ty1 + 1) / n))))
     px0, py0 = _merc_fwd(west, south)
     px1, py1 = _merc_fwd(east, north)
     width = round((px1 - px0) / scale)

@@ -33,15 +33,35 @@ def write_bucketed(
     Re-run safe across sessions: a managed table whose warehouse directory
     survived a previous session (catalog entry gone, files present) makes
     saveAsTable fail with LOCATION_ALREADY_EXISTS — drop the catalog entry
-    AND clear a derelict location first."""
+    AND clear a derelict location first. The derelict cleanup is guarded:
+    unqualified default-catalog names only (a qualified 'db.tbl' would make
+    the <warehouse>/<name> guess wrong), and the directory is deleted only
+    if every entry in it looks Spark-written (part-*/bucket files,
+    _SUCCESS, _temporary, dotfiles) — anything else raises instead of
+    silently destroying a path the warehouse conf happens to point at."""
     import os
+    import re
     import shutil
 
+    if "." in table:
+        raise ValueError(
+            f"write_bucketed takes an unqualified default-database table "
+            f"name, got {table!r} (the derelict-location cleanup cannot "
+            f"guess a qualified table's directory)"
+        )
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # managed-table DROP removes both catalog entry and files
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
     if os.path.exists(loc):
+        spark_made = re.compile(r"^(part-|_SUCCESS|_temporary|_committed|_started|\.)")
+        stray = [e for e in os.listdir(loc) if not spark_made.match(e)]
+        if stray:
+            raise ValueError(
+                f"refusing to clear derelict table location {loc}: contains "
+                f"non-Spark entries {stray[:5]} — remove it manually"
+            )
         shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

@@ -265,6 +265,7 @@ def knn_queries_values_sql() -> str:
 TILE_Z = 3
 TILE_PX = 256  # 16 x 16
 TILE_XRANGE = {"A": (0, 3), "B": (2, 5)}
+TILE_YRANGE = (0, 3)  # inclusive, shared by both images AND the VALUES oracles
 TILE_BANDS = {"A": 2, "B": 1}
 TILE_SALT = {"A": 1, "B": 3}  # band k of A uses salt 1+k; B uses 3
 
@@ -281,7 +282,11 @@ def tiles_df(spark: SparkSession, img: str) -> DataFrame:
     """Engine-side tile fixture — arrays built with JVM sequence/transform
     (no Python in the pixel path)."""
     x0, x1 = TILE_XRANGE[img]
-    keys = [(TILE_Z, x, y) for x in range(x0, x1 + 1) for y in range(4)]
+    keys = [
+        (TILE_Z, x, y)
+        for x in range(x0, x1 + 1)
+        for y in range(TILE_YRANGE[0], TILE_YRANGE[1] + 1)
+    ]
     kdf = spark.createDataFrame(keys, "z int, x int, y int")
     bands = ", ".join(
         f"transform(sequence(0, {TILE_PX - 1}), "
@@ -305,7 +310,7 @@ def tile_pixels_np(img: str):
     out = {}
     i = np.arange(TILE_PX, dtype=np.int64)
     for x in range(x0, x1 + 1):
-        for y in range(4):
+        for y in range(TILE_YRANGE[0], TILE_YRANGE[1] + 1):
             data = np.stack(
                 [
                     ((x * 16 + y) * 256 + i * 7 + TILE_SALT[img] + k) % 97

@@ -173,8 +173,12 @@ def test_embedding_neardup_hot_bucket_governor(spark):
         [(i, [float(x) for x in base * (1.0 + 0.0001 * i)]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    capped = sim.embedding_near_dups(df, 0.95, max_bucket_size=100).count()
-    assert capped == 0  # every bucket oversized -> dropped, bounded work
+    capped_df = sim.embedding_near_dups(df, 0.95, max_bucket_size=100)
+    assert capped_df.count() == 0  # every bucket oversized -> dropped, bounded work
+    # the recall loss is observable, not silent (ADVICE r03): the attached
+    # Observation reports how many (row, band) entries the cap dropped
+    drops = capped_df._neardup_drop_observation.get
+    assert drops["dropped_band_rows"] == drops["band_rows"] > 0
     uncapped = sim.embedding_near_dups(df, 0.95, max_bucket_size=None).count()
     assert uncapped == n * (n - 1) // 2  # all pairs cos==1
 

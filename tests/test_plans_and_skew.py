@@ -304,3 +304,59 @@ def test_range_join_plans_as_equi_join(spark):
     )
     want = {(r.event_id, r.tier_id) for r in naive.select("event_id", "tier_id").collect()}
     assert got == want and len(got) > 2000  # overlapping tiers: many-to-many
+
+
+def test_helper_column_collisions_rejected(spark):
+    """Operators that add helper columns must refuse inputs already carrying
+    them (withColumn silently overwrites) — range_join's '_rb', the spatial
+    joins' '_cell'/'ring'/'feature_id' (ADVICE r03)."""
+    import pytest
+
+    from geoproc_spark.operators import rangejoin as rj
+    from geoproc_spark.operators import spatial_join as sj
+
+    left = spark.createDataFrame([(1, 10, 99)], "event_id int, vc long, _rb long")
+    tiers = spark.createDataFrame([(1, 0, 100)], "tier_id int, lo long, hi long")
+    with pytest.raises(ValueError, match="_rb"):
+        rj.range_join(left, tiers, "vc", "lo", "hi")
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0, 7)], "page_id int, lat double, lon double, feature_id int"
+    )
+    poly = spark.createDataFrame(
+        [(1, [0.0, 0.0, 20.0, 0.0, 20.0, 20.0, 0.0, 20.0, 0.0, 0.0],
+          0.0, 0.0, 20.0, 20.0)],
+        "feature_id int, ring array<double>, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    with pytest.raises(ValueError, match="feature_id"):
+        sj.spatial_join(pts, poly)
+
+
+def test_write_bucketed_guards_destructive_cleanup(spark, tmp_path):
+    """write_bucketed must reject qualified names (its derelict-dir guess
+    would be wrong) and refuse to rmtree a directory containing entries it
+    did not write (ADVICE r03)."""
+    import os
+
+    import pytest
+
+    from geoproc_spark.sources import bucketed as bk
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    with pytest.raises(ValueError, match="unqualified"):
+        bk.write_bucketed(df, "somedb.mytable", ["k"])
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "guard_tbl")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "precious_user_data.csv"), "w") as fh:
+        fh.write("keep me\n")
+    try:
+        with pytest.raises(ValueError, match="refusing"):
+            bk.write_bucketed(df, "guard_tbl", ["k"])
+        assert os.path.exists(os.path.join(loc, "precious_user_data.csv"))
+    finally:
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
