@@ -153,19 +153,60 @@ def mercator_to_lonlat_np(x: np.ndarray, y: np.ndarray):
     return lon, lat
 
 
+def to_lonlat_np(x: np.ndarray, y: np.ndarray, crs: str):
+    """Any supported CRS -> (lon, lat) degrees, vectorized. Supported:
+    epsg:4326 (identity), epsg:3857 (closed-form spherical Mercator),
+    epsg:326xx/327xx (WGS84 UTM north/south — Krueger series, tmerc.py)."""
+    c = crs.lower()
+    if c == "epsg:4326":
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if c == "epsg:3857":
+        return mercator_to_lonlat_np(x, y)
+    from . import tmerc
+
+    p = tmerc.utm_params(c)
+    if p is not None:
+        return tmerc.tmerc_to_lonlat_np(x, y, *p)
+    raise ValueError(
+        f"unsupported CRS {crs!r} (engine registry: epsg:4326, epsg:3857, "
+        f"epsg:326xx/327xx UTM)"
+    )
+
+
+def from_lonlat_np(lon: np.ndarray, lat: np.ndarray, crs: str):
+    """(lon, lat) degrees -> any supported CRS, vectorized (see to_lonlat_np)."""
+    c = crs.lower()
+    if c == "epsg:4326":
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if c == "epsg:3857":
+        return lonlat_to_mercator_np(lon, lat)
+    from . import tmerc
+
+    p = tmerc.utm_params(c)
+    if p is not None:
+        return tmerc.lonlat_to_tmerc_np(lon, lat, *p)
+    raise ValueError(
+        f"unsupported CRS {crs!r} (engine registry: epsg:4326, epsg:3857, "
+        f"epsg:326xx/327xx UTM)"
+    )
+
+
 def transform_bounds(
     bounds: tuple[float, float, float, float],
     src: str = "epsg:4326",
     dst: str = "epsg:3857",
     densify_pts: int = 21,
 ) -> tuple[float, float, float, float]:
-    """Reproject a bbox between the two supported CRSs by densifying each
+    """Reproject a bbox between any two registry CRSs by densifying each
     edge with `densify_pts` samples and taking the envelope — the
     rasterio.warp.transform_bounds contract the reference leans on. For
-    this CRS pair the transform is separable (x from lon only, y from lat
-    only) so densification cannot tighten the envelope, but the edge-sample
-    protocol is kept for drop-in parity."""
-    pair = (src.lower(), dst.lower())
+    the 4326<->3857 pair the transform is separable (x from lon only, y
+    from lat only) so densification cannot tighten the envelope; for UTM
+    it is NOT separable (meridians converge toward the central meridian)
+    and the edge sampling genuinely determines the envelope. Routed
+    through lon/lat as the hub CRS."""
+    if src.lower() == dst.lower():
+        return bounds
     minx, miny, maxx, maxy = bounds
     t = np.linspace(0.0, 1.0, max(2, densify_pts))
     x_sweep = minx + (maxx - minx) * t
@@ -173,14 +214,8 @@ def transform_bounds(
     # all four edges: bottom/top x-sweeps + left/right y-sweeps
     xs = np.concatenate([x_sweep, x_sweep, np.full_like(t, minx), np.full_like(t, maxx)])
     ys = np.concatenate([np.full_like(t, miny), np.full_like(t, maxy), y_sweep, y_sweep])
-    if pair == ("epsg:4326", "epsg:3857"):
-        px, py = lonlat_to_mercator_np(xs, ys)
-    elif pair == ("epsg:3857", "epsg:4326"):
-        px, py = mercator_to_lonlat_np(xs, ys)
-    elif src.lower() == dst.lower():
-        return bounds
-    else:
-        raise ValueError(f"unsupported CRS pair {pair} (engine is WGS84<->WebMercator)")
+    lon, lat = to_lonlat_np(xs, ys, src)
+    px, py = from_lonlat_np(lon, lat, dst)
     return float(px.min()), float(py.min()), float(px.max()), float(py.max())
 
 

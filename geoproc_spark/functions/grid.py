@@ -12,8 +12,10 @@ Reproduces the grid derivation of the reference's `Image.export`
    requested output CRS (:202-207): pixel size = span / pixel count,
    origin at (west, north), north-up (negative y size).
 
-The CRS pair is the engine's supported one (functions/cells.py F9):
-EPSG:4326 (geographic) <-> EPSG:3857 (projected). Window enumeration
+The CRS registry (functions/cells.py F9 + functions/tmerc.py): EPSG:4326
+(geographic), EPSG:3857 (projected), and WGS84 UTM epsg:326xx/327xx
+(projected) — covering the reference's documented
+`export(..., crs="epsg:32630")` workflow. Window enumeration
 mirrors the reference's 4096-px export loop (WINDOW_SIZE at :32), row-major.
 
 All closed form: usable driver-side (specs), inside pandas UDFs
@@ -32,13 +34,21 @@ WINDOW_SIZE = 4096  # reference geoproc/server/image.py:32
 
 
 def is_projected(crs: str) -> bool:
-    """The engine's CRS registry: 3857 is projected, 4326 is geographic."""
+    """The engine's CRS registry: 3857 and UTM (epsg:326xx/327xx) are
+    projected (meter units), 4326 is geographic."""
     c = crs.lower()
     if c == "epsg:3857":
         return True
     if c == "epsg:4326":
         return False
-    raise ValueError(f"unsupported CRS {crs!r} (engine is WGS84<->WebMercator)")
+    from . import tmerc
+
+    if tmerc.utm_params(c) is not None:
+        return True
+    raise ValueError(
+        f"unsupported CRS {crs!r} (engine registry: epsg:4326, epsg:3857, "
+        f"epsg:326xx/327xx UTM)"
+    )
 
 
 def export_grid_spec(
@@ -100,10 +110,18 @@ def window_rect(
 
 
 def out_xy_to_lonlat(x: np.ndarray, y: np.ndarray, crs: str):
-    """Output-CRS coordinates -> (lon, lat) degrees (engine pair only)."""
-    if is_projected(crs):
-        return cells.mercator_to_lonlat_np(x, y)
-    return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    """Output-CRS coordinates -> (lon, lat) degrees (any registry CRS)."""
+    return cells.to_lonlat_np(x, y, crs)
+
+
+def tile_range_pad(crs: str) -> int:
+    """Safety pad (in tiles) for a window's source-tile range derived from
+    boundary samples. 4326/3857 are SEPARABLE (lon from x only, lat from y
+    only) so boundary extremes are exact -> 0. UTM is not: meridians curve
+    in grid coords, so a sampled boundary can undershoot the true lon/lat
+    extremes by a sliver -> pad 1 tile (extra candidates are harmless: the
+    gather only copies pixels whose nearest tile actually matches)."""
+    return 0 if crs.lower() in ("epsg:4326", "epsg:3857") else 1
 
 
 def sample_native_pixels(

@@ -557,19 +557,38 @@ class Image:
 
         # explicit (fn, returnType) form: `from __future__ import annotations`
         # stringifies hints on nested functions, breaking pandas_udf inference
+        pad = _grid.tile_range_pad(out_crs)
+        n_tiles = 1 << z
+
         def _needed_tiles(col_off, row_off, win_w, win_h):
             out = []
             for co, ro, ww, wh in zip(col_off, row_off, win_w, win_h):
-                # corner pixel CENTERS bound the tile range: gx is monotonic
-                # in output col, gy in output row (north-up transform)
-                cs = _np.array([co + 0.5, co + ww - 0.5])
-                rs = _np.array([ro + 0.5, ro + wh - 0.5])
-                xx = ox + _np.repeat(cs, 2) * xsize
-                yy = oy - _np.tile(rs, 2) * ysize
+                # boundary pixel CENTERS bound the tile range. For the
+                # separable CRSs corners alone would do (gx monotone in
+                # output col, gy in row); for UTM lon/lat extremes can sit
+                # mid-edge (meridian convergence; equator crossing), so
+                # sample the full perimeter and pad (grid.tile_range_pad).
+                k = 9
+                cs = _np.linspace(co + 0.5, co + ww - 0.5, k)
+                rs = _np.linspace(ro + 0.5, ro + wh - 0.5, k)
+                xx = ox + _np.concatenate(
+                    [cs, cs, _np.full(k, cs[0]), _np.full(k, cs[-1])]
+                ) * xsize
+                yy = oy - _np.concatenate(
+                    [_np.full(k, rs[0]), _np.full(k, rs[-1]), rs, rs]
+                ) * ysize
                 lon, lat = _grid.out_xy_to_lonlat(xx, yy, out_crs)
                 tx, ty, _c, _r = _grid.sample_native_pixels(lon, lat, z, side)
-                txs = _np.arange(tx.min(), tx.max() + 1, dtype=_np.int64)
-                tys = _np.arange(ty.min(), ty.max() + 1, dtype=_np.int64)
+                txs = _np.arange(
+                    max(tx.min() - pad, 0),
+                    min(tx.max() + pad, n_tiles - 1) + 1,
+                    dtype=_np.int64,
+                )
+                tys = _np.arange(
+                    max(ty.min() - pad, 0),
+                    min(ty.max() + pad, n_tiles - 1) + 1,
+                    dtype=_np.int64,
+                )
                 out.append(((txs[:, None] << 32) | tys[None, :]).ravel().tolist())
             return _pd.Series(out)
 

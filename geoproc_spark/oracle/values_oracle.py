@@ -179,6 +179,16 @@ def export_grid_cases() -> list[tuple[int, tuple[float, float, float, float], fl
         bounds = (lon - 2.0, lat - 1.5, lon + 2.0, lat + 1.5)
         crs = "epsg:3857" if i % 2 else "epsg:4326"
         cases.append((i, bounds, 500.0 * (i + 1), crs))
+    # UTM output cases (VERDICT r03 #4): zone from the center longitude,
+    # hemisphere from the latitude — the reference's documented
+    # `export(..., crs="epsg:32630")` shape
+    base = len(cases)
+    for j, (_name, lat_s, lon_s) in enumerate(synth.HOT_CENTERS[:3]):
+        lat, lon = lat_s / 1e4, lon_s / 1e4
+        zone = min(60, max(1, int((lon + 180.0) // 6) + 1))
+        crs = f"epsg:{326 if lat >= 0 else 327}{zone:02d}"
+        bounds = (lon - 1.5, lat - 1.0, lon + 1.5, lat + 1.0)
+        cases.append((base + j, bounds, 250.0 * (j + 1), crs))
     return cases
 
 
@@ -192,13 +202,16 @@ def export_grid_values_sql() -> str:
     numpy-SIMD mercator differ in the last ulp and the oracle must pin the
     engine's semantics, not the host libm's lane dispatch."""
     from ..functions import cells as _cells
+    from ..functions import grid as _grid
 
     rows = []
     for gid, bounds, scale, crs in export_grid_cases():
-        pb = _cells.transform_bounds(bounds, src="epsg:4326", dst="epsg:3857")
+        projected = _grid.is_projected(crs)
+        proj_crs = crs if projected else "epsg:3857"
+        pb = _cells.transform_bounds(bounds, src="epsg:4326", dst=proj_crs)
         width = round((pb[2] - pb[0]) / scale)
         height = round((pb[3] - pb[1]) / scale)
-        ob = pb if crs == "epsg:3857" else bounds
+        ob = pb if projected else bounds
         xsize = (ob[2] - ob[0]) / width
         ysize = (ob[3] - ob[1]) / height
         # doubles as string literals -> exact round-trip (DuckDB DECIMAL rule)
@@ -260,6 +273,87 @@ def export_projected_values_sql(scale: float = 400000.0, window_size: int = 32) 
                 lat_c = min(max(lat, -85.05112878), 85.05112878)
                 gx = int(math.floor((lon + 180.0) / 360.0 * n * side))
                 rad = math.radians(lat_c)
+                gy = int(
+                    math.floor(
+                        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+                        / 2.0 * n * side
+                    )
+                )
+                gx = min(max(gx, 0), n * side - 1)
+                gy = min(max(gy, 0), n * side - 1)
+                t = tiles.get((z, gx // side, gy // side))
+                if t is None:
+                    continue
+                src = (gy % side) * side + (gx % side)
+                if t[1][src] == 255:
+                    nv += 1
+                for b in range(nb):
+                    chk[b] += int(t[0][b, src]) * (i + 1)
+            for b in range(nb):
+                rows.append(f"({co}, {ro}, {ww}, {wh}, {b}, {nv}, {chk[b]})")
+    return (
+        "SELECT CAST(col_off AS INT) AS col_off, CAST(row_off AS INT) AS row_off, "
+        "CAST(win_w AS INT) AS win_w, CAST(win_h AS INT) AS win_h, "
+        "CAST(band_idx AS INT) AS band_idx, CAST(n_valid AS BIGINT) AS n_valid, "
+        "CAST(checksum AS BIGINT) AS checksum "
+        f"FROM (VALUES {', '.join(rows)}) AS t(col_off, row_off, win_w, win_h, band_idx, n_valid, checksum)"
+    )
+
+
+def export_projected_utm_values_sql(
+    scale: float = 10000.0,
+    window_size: int = 32,
+    crs: str = "epsg:32630",
+    bounds: tuple[float, float, float, float] = (-6.0, 40.0, -0.5, 50.0),
+) -> str:
+    """Expected per-(window, band) digests of fixture image A exported onto
+    a PROJECTED UTM grid (the reference's documented
+    `export(..., crs="epsg:32630")`, server/image.py:183-207). Twin split:
+    grid math, window enumeration, native-pixel sampling, and digests are
+    re-derived here from scratch; the PROJECTIONS (bounds transform and
+    the per-pixel UTM->lonlat inverse) go through the engine's pinned
+    numpy kernels on identically-constructed arrays — the shared-kernel
+    precedent (scalar libm vs numpy SIMD differ in the last ulp, and the
+    oracle pins the engine's semantics, not the host libm's)."""
+    import math
+
+    import numpy as np
+
+    from ..functions import cells as _cells
+
+    z, side = synth.TILE_Z, int(math.isqrt(synth.TILE_PX))
+    nb = synth.TILE_BANDS["A"]
+    n = 1 << z
+    pb = _cells.transform_bounds(bounds, src="epsg:4326", dst=crs)  # pinned
+    width = round((pb[2] - pb[0]) / scale)
+    height = round((pb[3] - pb[1]) / scale)
+    xsize = (pb[2] - pb[0]) / width
+    ysize = (pb[3] - pb[1]) / height
+    ox, oy = pb[0], pb[3]
+
+    tiles = synth.tile_pixels_np("A")
+    rows = []
+    wcols = (width + window_size - 1) // window_size
+    wrows = (height + window_size - 1) // window_size
+    for wr in range(wrows):
+        for wc in range(wcols):
+            co, ro = wc * window_size, wr * window_size
+            ww = min(window_size, width - co)
+            wh = min(window_size, height - ro)
+            # pixel-center arrays constructed exactly like the engine's
+            # gather, then the pinned inverse-projection kernel
+            cols = ox + (co + np.arange(ww) + 0.5) * xsize
+            rws = oy - (ro + np.arange(wh) + 0.5) * ysize
+            X = np.tile(cols, wh)
+            Y = np.repeat(rws, ww)
+            lon, lat = _cells.to_lonlat_np(X, Y, crs)
+            nv = 0
+            chk = [0] * nb
+            for i in range(wh * ww):
+                lo, la = float(lon[i]), float(lat[i])
+                la = min(max(la, -85.05112878), 85.05112878)
+                gx = int(math.floor((lo + 180.0) / 360.0 * n * side))
+                rad = math.radians(la)
                 gy = int(
                     math.floor(
                         (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)

@@ -978,6 +978,7 @@ ORACLE_SQL_LAZY["ann_ivf_topk"] = VO.ivf_topk_values_sql
 ORACLE_SQL_LAZY["ann_lsh_topk"] = VO.lsh_topk_values_sql
 ORACLE_SQL_LAZY["tile_export_grid"] = VO.export_grid_values_sql
 ORACLE_SQL_LAZY["tile_export_projected"] = VO.export_projected_values_sql
+ORACLE_SQL_LAZY["tile_export_utm"] = VO.export_projected_utm_values_sql
 ORACLE_SQL_LAZY["multimodal_features"] = VO.multimodal_features_values_sql
 ORACLE_SQL_LAZY["multimodal_frame_sample"] = VO.frame_sample_values_sql
 ORACLE_SQL_LAZY["multimodal_resize"] = VO.resize_values_sql
@@ -1157,6 +1158,33 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_cents", "n_users")
+    )
+
+
+@query(
+    "events_hourly_stream",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+""",
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path under the batch oracle (VERDICT r03 #8): the
+    events table replayed through Structured Streaming — file source,
+    availableNow trigger, checkpointed, complete-mode windowed agg into a
+    memory sink (streaming/windowed.py) — must equal the batch SQL on a
+    bounded input. Fresh checkpoint per call keeps the query idempotent."""
+    import tempfile
+    import uuid
+
+    from .streaming import windowed
+
+    name = f"hourly_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geoproc_stream_ckpt_")
+    return windowed.run_hourly_stream(
+        spark, f"{sf_dir}/events.parquet", ckpt, out_table=name
     )
 
 
@@ -1536,6 +1564,41 @@ def tile_export_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     img = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
     wdf, _spec = img.projected_windows(scale=400000.0, crs="epsg:4326", window_size=32)
+    return wdf.selectExpr(
+        "col_off",
+        "row_off",
+        "win_w",
+        "win_h",
+        "posexplode(data) AS (band_idx, band_data)",
+        "mask",
+    ).selectExpr(
+        "col_off",
+        "row_off",
+        "win_w",
+        "win_h",
+        "band_idx",
+        "aggregate(mask, 0L, (a, m) -> a + IF(m = 255, 1L, 0L)) AS n_valid",
+        "aggregate(zip_with(band_data, sequence(1, size(band_data)), "
+        "(v, i) -> CAST(v AS BIGINT) * i), 0L, (a, x) -> a + x) AS checksum",
+    )
+
+
+@query("tile_export_utm")  # oracle: independent numpy resampler -> VALUES
+def tile_export_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected export onto a UTM grid (VERDICT r03 #4 — the reference's
+    own documented workflow `img.export("out.tif", scale=10,
+    crs="epsg:32630")`, server/image.py:183-207): fixture image A exported
+    at 10 km/px onto the EPSG:32630 (UTM 30N) grid over an explicit
+    lon/lat bounds box, windowed 32 px. Same digest contract as
+    tile_export_projected; the UTM forward/inverse is the Krueger-series
+    kernel in functions/tmerc.py."""
+    from .image import Image
+
+    img = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    wdf, _spec = img.projected_windows(
+        scale=10000.0, crs="epsg:32630", bounds=(-6.0, 40.0, -0.5, 50.0),
+        window_size=32,
+    )
     return wdf.selectExpr(
         "col_off",
         "row_off",

@@ -1,0 +1,309 @@
+"""Minimal GeoTIFF ingest/egress — pure Python/numpy, no GDAL.
+
+Closes VERDICT r03 #7: the reference opens any GDAL raster
+(/root/reference/geoproc/server/image.py:92-118, 441-443); this sandbox has
+no GDAL, so actual `.tif` files come in through a from-scratch reader of
+the public specs — baseline TIFF 6.0 (little/big-endian classic TIFFs,
+Compression=1 strips, chunky or planar) plus the GeoTIFF georeferencing
+tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory 34735,
+GDAL_NODATA 42113). The writer emits the same subset, so round-trips are
+byte-exact and the reader is testable without external fixtures.
+
+Distributed ingest shape (SURVEY §2.1 S-in): each scene is one task —
+`spark.read.format("binaryFile")` rows feed `scene_tile_rows` inside
+mapInPandas, tile rows union into the engine's (z, x, y, data, mask) tile
+table. A 100 TB archive ingests at scan bandwidth: no driver-side pixels,
+one shuffle-free map per scene, the (z, x, y) range-partitioned write is
+the same sink `Image.export` uses.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TYPE_FMT = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8}
+
+# (SampleFormat, BitsPerSample) -> numpy dtype char
+_DTYPES = {
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+
+def _read_ifd_entries(buf: bytes, bo: str, off: int) -> dict[int, tuple]:
+    (n,) = struct.unpack_from(bo + "H", buf, off)
+    out = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
+        if typ not in _TYPE_FMT:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        vo = off + 2 + 12 * i + 8
+        if size > 4:
+            (vo,) = struct.unpack_from(bo + "I", buf, vo)
+        vals = struct.unpack_from(bo + str(cnt) + _TYPE_FMT[typ], buf, vo)
+        out[tag] = vals
+    return out
+
+
+def read_geotiff(raw: bytes) -> dict:
+    """Parse an uncompressed baseline (Geo)TIFF from bytes.
+
+    Returns {data: float64 (bands, H, W), mask: int64 (H, W), bounds,
+    crs, nodata} — mask is 0 where a band-0 pixel equals GDAL_NODATA,
+    else 255 (the engine's mask convention)."""
+    if raw[:2] == b"II":
+        bo = "<"
+    elif raw[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(bo + "HI", raw, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF (magic != 42)")
+    t = _read_ifd_entries(raw, bo, ifd_off)
+
+    w, h = t[256][0], t[257][0]
+    spp = t.get(277, (1,))[0]
+    comp = t.get(259, (1,))[0]
+    if comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp} (baseline reader)")
+    bits = t.get(258, (1,) * spp)[0]
+    sfmt = t.get(339, (1,) * spp)[0]
+    dt = _DTYPES.get((sfmt, bits))
+    if dt is None:
+        raise ValueError(f"unsupported sample format/bits ({sfmt}, {bits})")
+    dtype = np.dtype(bo + dt)
+    planar = t.get(284, (1,))[0]
+    rps = t.get(278, (h,))[0]
+    offs, cnts = t[273], t[279]
+
+    if planar == 2:
+        # band-separate: strips ordered band-major
+        spb = (h + rps - 1) // rps
+        bands = []
+        for b in range(spp):
+            parts = [
+                np.frombuffer(raw, dtype=dtype, count=cnts[b * spb + s] // dtype.itemsize,
+                              offset=offs[b * spb + s])
+                for s in range(spb)
+            ]
+            bands.append(np.concatenate(parts).reshape(h, w))
+        data = np.stack(bands)
+    else:
+        parts = [
+            np.frombuffer(raw, dtype=dtype, count=c // dtype.itemsize, offset=o)
+            for o, c in zip(offs, cnts)
+        ]
+        data = np.concatenate(parts).reshape(h, w, spp).transpose(2, 0, 1)
+    data = data.astype(np.float64)
+
+    bounds = crs = None
+    if 33550 in t and 33922 in t:
+        sx, sy = t[33550][0], t[33550][1]
+        i, j, _k, X, Y = t[33922][0], t[33922][1], t[33922][2], t[33922][3], t[33922][4]
+        west, north = X - i * sx, Y + j * sy
+        bounds = (west, north - sy * h, west + sx * w, north)
+    if 34735 in t:
+        gk = t[34735]
+        nkeys = gk[3]
+        keys = {gk[4 + 4 * i]: gk[4 + 4 * i + 3] for i in range(nkeys)
+                if gk[4 + 4 * i + 1] == 0}
+        if 3072 in keys:  # ProjectedCSTypeGeoKey
+            crs = f"epsg:{keys[3072]}"
+        elif 2048 in keys:  # GeographicTypeGeoKey
+            crs = f"epsg:{keys[2048]}"
+
+    nodata = None
+    mask = np.full((h, w), 255, dtype=np.int64)
+    if 42113 in t:
+        s = b"".join(t[42113]).split(b"\x00")[0].decode("ascii").strip()
+        if s:
+            nodata = float(s)
+            mask = np.where(data[0] == nodata, 0, 255).astype(np.int64)
+
+    return {"data": data, "mask": mask, "bounds": bounds, "crs": crs, "nodata": nodata}
+
+
+def write_geotiff(
+    data,
+    bounds: tuple[float, float, float, float],
+    crs: str = "epsg:4326",
+    nodata: float | None = None,
+) -> bytes:
+    """Encode (bands, H, W) float64 as an uncompressed little-endian
+    GeoTIFF (planar strips, one per band) with pixel-scale/tiepoint
+    georeferencing and an EPSG GeoKey. Returns the file bytes."""
+    arr = np.ascontiguousarray(np.asarray(data, dtype="<f8"))
+    if arr.ndim == 2:
+        arr = arr[None]
+    nb, h, w = arr.shape
+    west, south, east, north = bounds
+    sx, sy = (east - west) / w, (north - south) / h
+    epsg = int(crs.lower().removeprefix("epsg:"))
+    geographic = epsg == 4326
+    geokeys = [1, 1, 0, 2,
+               1024, 0, 1, (2 if geographic else 1),
+               (2048 if geographic else 3072), 0, 1, epsg]
+    nodata_s = (f"{nodata!r}".encode("ascii") + b"\x00") if nodata is not None else b""
+
+    strip_len = h * w * 8
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, nb, [64] * nb))
+    entries.append((259, 3, 1, [1]))
+    entries.append((262, 3, 1, [1]))
+    entries.append((273, 4, nb, None))  # strip offsets, patched below
+    entries.append((277, 3, 1, [nb]))
+    entries.append((278, 4, 1, [h]))
+    entries.append((279, 4, nb, [strip_len] * nb))
+    entries.append((284, 3, 1, [2]))
+    entries.append((339, 3, nb, [3] * nb))
+    entries.append((33550, 12, 3, [sx, sy, 0.0]))
+    entries.append((33922, 12, 6, [0.0, 0.0, 0.0, west, north, 0.0]))
+    entries.append((34735, 3, len(geokeys), geokeys))
+    if nodata_s:
+        entries.append((42113, 2, len(nodata_s), nodata_s))
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # out-of-line value area after the IFD
+    tail_off = ifd_off + ifd_size
+    tails = []
+    patched = []
+    strips_at = None
+    for tag, typ, cnt, vals in entries:
+        size = _TYPE_SIZE[typ] * cnt
+        if tag == 273:
+            strips_at = len(patched)  # fill once data offset is known
+            patched.append((tag, typ, cnt, None, tail_off if nb > 1 else None))
+            if nb > 1:
+                tails.append(None)  # placeholder, patched later
+                tail_off += size
+            continue
+        if size > 4:
+            patched.append((tag, typ, cnt, vals, tail_off))
+            if typ == 2:
+                tails.append(bytes(vals))
+            else:
+                tails.append(struct.pack("<" + str(cnt) + _TYPE_FMT[typ], *vals))
+            tail_off += size
+        else:
+            patched.append((tag, typ, cnt, vals, None))
+    data_off = tail_off
+    strip_offsets = [data_off + b * strip_len for b in range(nb)]
+    # fill the strip-offsets entry/tail
+    tag, typ, cnt, _v, off = patched[strips_at]
+    patched[strips_at] = (tag, typ, cnt, strip_offsets, off)
+    if nb > 1:
+        ti = [i for i, x in enumerate(tails) if x is None][0]
+        tails[ti] = struct.pack("<" + str(nb) + "I", *strip_offsets)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(patched))
+    for tag, typ, cnt, vals, off in patched:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if off is not None:
+            out += struct.pack("<I", off)
+        else:
+            if typ == 2:
+                raw_v = bytes(vals)
+            else:
+                raw_v = struct.pack("<" + str(cnt) + _TYPE_FMT[typ], *vals)
+            out += raw_v.ljust(4, b"\x00")[:4]
+    out += struct.pack("<I", 0)  # next IFD
+    for tb in tails:
+        out += tb
+    assert len(out) == data_off, (len(out), data_off)
+    for b in range(nb):
+        out += arr[b].tobytes()
+    return bytes(out)
+
+
+def scene_tile_rows(
+    raw: bytes, zoom: int, tile_side: int = 16
+) -> list[tuple[int, int, int, list[list[float]], list[int]]]:
+    """One scene -> engine tile rows (z, x, y, data, mask): parse the
+    GeoTIFF, place its NW corner on the zoom grid (the scene must be
+    grid-aligned — resampling-free ingest, like tiled COG archives), cut
+    tile_side tiles, pad edges as nodata. Pure function: runs inside a
+    task, never on the driver."""
+    import math
+
+    from ..functions import cells
+
+    g = read_geotiff(raw)
+    if g["bounds"] is None:
+        raise ValueError("GeoTIFF lacks georeferencing (tags 33550/33922)")
+    if g["crs"] not in (None, "epsg:4326"):
+        raise ValueError(f"scene CRS {g['crs']} not on the ingest grid (epsg:4326)")
+    west, _s, _e, north = g["bounds"]
+    n_grid = 1 << zoom
+    # NW corner -> grid tile, SNAPPED: a grid-aligned corner computed
+    # through the transcendental tile-bounds roundtrip can land at
+    # 6.999999999999996, and floor alone would misplace the whole scene
+    fx = (west + 180.0) / 360.0 * n_grid
+    rad = math.radians(min(max(north, -cells.MAX_LAT), cells.MAX_LAT))
+    fy = (
+        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+        / 2.0 * n_grid
+    )
+    snap = lambda v: int(round(v)) if abs(v - round(v)) < 1e-6 else int(math.floor(v))
+    x0, y0 = np.array([snap(fx)]), np.array([snap(fy)])
+    data, mask = g["data"], g["mask"]
+    nb, H, W = data.shape
+    side = tile_side
+    tH = (H + side - 1) // side * side
+    tW = (W + side - 1) // side * side
+    pad_a = np.zeros((nb, tH, tW), dtype=np.float64)
+    pad_a[:, :H, :W] = data
+    pad_m = np.zeros((tH, tW), dtype=np.int64)
+    pad_m[:H, :W] = mask
+    n = 1 << zoom
+    rows = []
+    for ty in range(tH // side):
+        for tx in range(tW // side):
+            x, y = int(x0[0]) + tx, int(y0[0]) + ty
+            if not (0 <= x < n and 0 <= y < n):
+                raise ValueError(f"tile ({x},{y}) outside the zoom-{zoom} grid")
+            d = pad_a[:, ty * side:(ty + 1) * side, tx * side:(tx + 1) * side]
+            mm = pad_m[ty * side:(ty + 1) * side, tx * side:(tx + 1) * side]
+            rows.append(
+                (zoom, x, y, [b.ravel().tolist() for b in d], mm.ravel().tolist())
+            )
+    return rows
+
+
+def ingest_geotiffs(spark, path: str, zoom: int, tile_side: int = 16):
+    """Distributed scene ingest: binaryFile scan -> per-scene tile cut in
+    mapInPandas -> engine tile table (z, x, y, data, mask). Returns the
+    tile DataFrame; wrap with Image.from_df for the operator surface."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("data", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("mask", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def cut(batches):
+        for pdf in batches:
+            out = []
+            for raw in pdf["content"]:
+                out.extend(scene_tile_rows(bytes(raw), zoom, tile_side))
+            yield pd.DataFrame(out, columns=["z", "x", "y", "data", "mask"])
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(cut, schema)

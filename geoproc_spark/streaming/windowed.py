@@ -39,8 +39,19 @@ def run_hourly_stream(
     """Run the hourly aggregate as a stream over a parquet directory with an
     availableNow trigger (process-everything-then-stop), checkpointed.
     Returns the result as a DataFrame (from the in-memory sink)."""
+    import os
+
     schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if os.path.isfile(events_dir):
+        # the streaming file source only takes directories: stream the
+        # parent with a glob filter pinned to this one file
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_dir))
+            .parquet(os.path.dirname(events_dir))
+        )
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_dir)
     q = (
         hourly_agg(stream)
         .writeStream.format("memory")

@@ -143,5 +143,8 @@ def test_transform_bounds_and_union():
     assert u[0] == 0.0 and u[1] == 0.0
     assert u[2] > a[2] and u[3] > a[3]  # grew to cover the 20-degree corner
 
+    # UTM joined the registry in r4 (tmerc.py); Lambert-93 did not
+    utm = cells.transform_bounds(b4326, "epsg:4326", "epsg:32630")
+    assert utm[2] > utm[0] and utm[3] > utm[1]
     with np.testing.assert_raises(ValueError):
-        cells.transform_bounds(b4326, "epsg:4326", "epsg:32630")
+        cells.transform_bounds(b4326, "epsg:4326", "epsg:2154")

@@ -1,0 +1,131 @@
+"""Minimal GeoTIFF reader/writer + distributed scene ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoproc_spark.functions import cells
+from geoproc_spark.image import Image
+from geoproc_spark.sources import geotiff as gt
+
+
+def _scene(nb=2, h=40, w=56, seed=1):
+    rng = np.random.default_rng(seed)
+    return np.round(rng.uniform(0, 97, size=(nb, h, w))).astype(np.float64)
+
+
+def test_roundtrip_bytes_exact():
+    data = _scene()
+    bounds = (-90.0, 0.0, -45.0, 40.97989806962013)
+    raw = gt.write_geotiff(data, bounds, crs="epsg:4326", nodata=-1.0)
+    g = gt.read_geotiff(raw)
+    assert g["data"].shape == data.shape
+    assert np.array_equal(g["data"], data)
+    assert g["crs"] == "epsg:4326"
+    assert g["nodata"] == -1.0
+    assert np.allclose(g["bounds"], bounds)
+    assert (g["mask"] == 255).all()  # no pixel equals nodata
+
+
+def test_roundtrip_single_band_and_nodata_mask():
+    data = _scene(nb=1, h=10, w=10)
+    data[0, 3, 4] = -1.0
+    raw = gt.write_geotiff(data, (0.0, 0.0, 10.0, 10.0), nodata=-1.0)
+    g = gt.read_geotiff(raw)
+    assert g["mask"][3, 4] == 0 and g["mask"].sum() == 99 * 255
+    assert np.array_equal(g["data"], data)
+
+
+def test_read_rejects_compressed_and_garbage():
+    with pytest.raises(ValueError, match="byte-order"):
+        gt.read_geotiff(b"PK\x03\x04 not a tiff")
+    raw = bytearray(gt.write_geotiff(_scene(nb=1, h=4, w=4), (0, 0, 1, 1)))
+    # flip the Compression tag value to 5 (LZW): reader must refuse
+    import struct
+
+    (n,) = struct.unpack_from("<H", raw, 8)
+    for i in range(n):
+        tag, = struct.unpack_from("<H", raw, 10 + 12 * i)
+        if tag == 259:
+            struct.pack_into("<H", raw, 10 + 12 * i + 8, 5)
+    with pytest.raises(ValueError, match="compression"):
+        gt.read_geotiff(bytes(raw))
+
+
+def test_read_chunky_planar_config():
+    """A chunky (PlanarConfiguration=1) file from a second writer path:
+    build the byte layout by hand to prove the reader handles both."""
+    import struct
+
+    data = _scene(nb=3, h=6, w=5)
+    chunky = np.ascontiguousarray(data.transpose(1, 2, 0)).astype("<f8")
+    entries = [
+        (256, 4, 1, [5]), (257, 4, 1, [6]), (258, 3, 3, [64, 64, 64]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]), (273, 4, 1, None),
+        (277, 3, 1, [3]), (278, 4, 1, [6]), (279, 4, 1, [6 * 5 * 3 * 8]),
+        (284, 3, 1, [1]), (339, 3, 3, [3, 3, 3]),
+    ]
+    ifd_size = 2 + 12 * len(entries) + 4
+    tail_off = 8 + ifd_size
+    tails = b""
+    fixed = []
+    for tag, typ, cnt, vals in entries:
+        size = {3: 2, 4: 4}[typ] * cnt
+        if tag == 273:
+            fixed.append((tag, typ, cnt, None, None))
+            continue
+        if size > 4:
+            fixed.append((tag, typ, cnt, vals, tail_off))
+            tails += struct.pack(f"<{cnt}{'H' if typ == 3 else 'I'}", *vals)
+            tail_off += size
+        else:
+            fixed.append((tag, typ, cnt, vals, None))
+    out = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", len(fixed))
+    for tag, typ, cnt, vals, off in fixed:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if tag == 273:
+            out += struct.pack("<I", tail_off)
+        elif off is not None:
+            out += struct.pack("<I", off)
+        else:
+            out += struct.pack(f"<{cnt}{'H' if typ == 3 else 'I'}", *vals).ljust(4, b"\x00")[:4]
+    out += struct.pack("<I", 0) + tails + chunky.tobytes()
+    g = gt.read_geotiff(out)
+    assert np.array_equal(g["data"], data)
+
+
+def test_distributed_ingest_matches_numpy_algebra(spark, tmp_path):
+    """binaryFile scan -> per-scene tile cut -> Image algebra: the engine
+    result over ingested .tif scenes equals the pure-numpy computation."""
+    zoom, side = 5, 16
+    n = 1 << zoom
+    scenes = {}
+    for sid, (tx0, ty0) in enumerate([(4, 7), (7, 7)]):
+        data = _scene(nb=1, h=32, w=48, seed=sid)  # 2x3 tiles of 16
+        # grid-aligned bounds: NW corner on tile (tx0, ty0), SE on the
+        # far corner of tile (tx0+2, ty0+1)
+        w_a, s_a, e_a, n_a = cells.tile_bounds_np(
+            np.array([zoom, zoom]), np.array([tx0, tx0 + 2]), np.array([ty0, ty0 + 1])
+        )
+        bounds = (float(w_a[0]), float(s_a[1]), float(e_a[1]), float(n_a[0]))
+        (tmp_path / f"scene{sid}.tif").write_bytes(
+            gt.write_geotiff(data, bounds, crs="epsg:4326")
+        )
+        scenes[(tx0, ty0)] = data
+
+    tiles = gt.ingest_geotiffs(spark, str(tmp_path), zoom=zoom, tile_side=side)
+    img = Image.from_df(tiles, 1, side * side)
+    doubled = img * 2 + 1
+    got = {
+        (r.x, r.y): r.s
+        for r in doubled.df.selectExpr(
+            "x", "y", "aggregate(data[0], CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS s"
+        ).collect()
+    }
+    assert len(got) == 12  # 2 scenes x 6 tiles
+    for (tx0, ty0), data in scenes.items():
+        for ty in range(2):
+            for tx in range(3):
+                chip = data[0, ty * side:(ty + 1) * side, tx * side:(tx + 1) * side]
+                want = float((chip * 2 + 1).sum())
+                assert abs(got[(tx0 + tx, ty0 + ty)] - want) < 1e-9
