@@ -104,9 +104,24 @@ def main() -> None:
         # min over repeats: single-box runs see interference bursts (shared
         # host: up to 23% CPU steal observed); the minimum is the
         # interference-free estimate of the configuration's capability
-        runs = [run_level(zpath, c, corpus_dir) for _ in range(REPEATS)]
+        runs = []
+        for _ in range(REPEATS):
+            r = run_level(zpath, c, corpus_dir)
+            print(json.dumps({"run": r}), flush=True)  # forensics: every run
+            runs.append(r)
         results[c] = min(runs, key=lambda r: r["wall_sec"])
         results[c]["all_walls"] = [r["wall_sec"] for r in runs]
+        # stage walls: min PER STAGE across repeats (VERDICT r03 #1 — a
+        # one-sided host burst inside the min-total-wall run must not
+        # masquerade as a stage's capability)
+        results[c]["stage_walls"] = {
+            stage: min(r["stage_walls"][stage] for r in runs)
+            for stage in runs[0].get("stage_walls", {})
+        }
+        results[c]["stage_walls_all"] = {
+            stage: [r["stage_walls"][stage] for r in runs]
+            for stage in runs[0].get("stage_walls", {})
+        }
     import shutil
 
     shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
@@ -186,6 +201,22 @@ collapses to the measured host ceiling (~0.79 max on this shared box at
 32-wide, see below) is host-bound, not engine-bound; a stage whose 2->8
 efficiency is ALSO low has a real serial/shuffle bottleneck to fix.
 
+Stage walls are the MIN PER STAGE across repeats (since r4); every
+individual run is logged as a {{"run": ...}} line for forensics.
+
+### r4 forensics: the r3 "pip_join 8->32 collapse" was a measurement artifact
+
+The r3 record showed pip_join at 28.35 s at local[32] vs 6.68 s at
+local[8] (eff 0.059). Root-caused in r4 with a dedicated experiment
+(4 cold JVMs, pip_join measured TWICE per run + a cache-health recount):
+local[32] pip_join = 3.93 / 5.49 / 5.78 / 4.68 s across runs — 8->32
+efficiency ~0.38, in line with extract (~0.40) and the host ceiling; the
+cached-input recount was 0.13-0.17 s in every run (no eviction/recompute
+thrash); CPU steal up to 11 s was observed during the 32-wide runs. The
+r3 number was a one-sided host-interference burst that the old harness
+could capture because stage walls were single-shot inside whichever run
+had the minimal TOTAL wall. Fixed by per-stage minima across repeats.
+
 ## Why N=2 -> 4N=8 is the honest pair on this sandbox
 
 There is no cluster here: one VM on a SHARED host. Measured hardware
@@ -213,10 +244,14 @@ broadcast of a 15-row polygon layer), so the same pipeline projects to
    warmed untimed (long-lived workers on a real cluster), input split size
    scaled to ~3 splits/core (at the 128 MB default the corpus yields ~10
    splits and parallelism is capped regardless of cores).
-3. Timed: extraction -> covering-cell PIP join -> noop sink, concurrently
-   extraction -> per-tile stats; no intermediate disk writes (a single box
-   cannot scale disk bandwidth with cores; on a cluster, stage snapshots go
-   to distributed storage that scales with the cluster).
+3. Timed: extraction materializes ONCE into an in-memory stage (persist +
+   count), then covering-cell PIP join -> noop sink and per-tile stats run
+   as concurrent jobs off the cached skeleton; no intermediate disk writes
+   (a single box cannot scale disk bandwidth with cores; on a cluster,
+   stage snapshots go to distributed storage that scales with the cluster).
+   Through r3 extraction was inlined into both consumers — two concurrent
+   copies of the most bandwidth-bound stage, contending hardest exactly at
+   the wider core counts the gate measures.
 4. min over repeats per level (shared-host interference bursts are
    one-sided noise).
 

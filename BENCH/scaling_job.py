@@ -105,34 +105,20 @@ def main() -> None:
     # shared box cannot scale disk bandwidth with cores; at 100 TB the
     # cluster scales both, and stage snapshots go to distributed storage).
     # Extraction uses the production mapInArrow+RE2 path (equality with the
-    # pandas-UDF twin is test-pinned), inlined into both consumers.
+    # pandas-UDF twin is test-pinned) and materializes ONCE into an
+    # in-memory stage both consumers read — the same share-the-skeleton
+    # shape as bench.py's parquet snapshot and plans/geo_run.py. (Through
+    # r3 it was inlined into BOTH consumers: two concurrent copies of the
+    # most bandwidth-bound stage, which contend hardest exactly at the
+    # wider core counts the gate measures.)
     def extracted():
         return extract.with_coords_arrow(
             pages.select("page_id", "text"), keep=["page_id"]
         ).filter(F.col("lat").isNotNull())
 
-    # The two consumers run as CONCURRENT Spark jobs (threads): the
-    # scheduler fills stage-boundary idle gaps of one job with tasks of the
-    # other — standard practice on shared clusters, and the single-job gaps
-    # otherwise bill ~25% idle to the wall clock.
     import threading
 
     results = {}
-
-    def run_join():
-        joined = sj.spatial_join(extracted(), sj.polygons_df(spark)).select(
-            "page_id", "feature_id"
-        )
-        joined.write.format("noop").mode("overwrite").save()
-
-    def run_tiles():
-        stats_in = extracted().select(
-            "page_id",
-            F.round(F.col("lat") * 10000).cast("bigint").alias("lat_s"),
-            F.round(F.col("lon") * 10000).cast("bigint").alias("lon_s"),
-            (F.col("page_id") % 100).alias("m100"),
-        )
-        results["n_tiles"] = tiles_op.tile_stats(stats_in, 8, measure_col="m100").count()
 
     def cpu_snap():
         with open("/proc/stat") as fh:
@@ -142,6 +128,27 @@ def main() -> None:
 
     snap0 = cpu_snap()
     t0 = time.time()
+    ext_shared = extracted().persist()
+    ext_shared.count()  # timed: the extraction stage runs exactly once
+
+    # The two consumers run as CONCURRENT Spark jobs (threads) off the
+    # cached skeleton: the scheduler fills stage-boundary idle gaps of one
+    # job with tasks of the other — standard practice on shared clusters.
+    def run_join():
+        joined = sj.spatial_join(ext_shared, sj.polygons_df(spark)).select(
+            "page_id", "feature_id"
+        )
+        joined.write.format("noop").mode("overwrite").save()
+
+    def run_tiles():
+        stats_in = ext_shared.select(
+            "page_id",
+            F.round(F.col("lat") * 10000).cast("bigint").alias("lat_s"),
+            F.round(F.col("lon") * 10000).cast("bigint").alias("lon_s"),
+            (F.col("page_id") % 100).alias("m100"),
+        )
+        results["n_tiles"] = tiles_op.tile_stats(stats_in, 8, measure_col="m100").count()
+
     threads = [threading.Thread(target=run_join), threading.Thread(target=run_tiles)]
     for th in threads:
         th.start()
@@ -149,6 +156,7 @@ def main() -> None:
         th.join()
     t1 = t2 = time.time()
     n_tiles = results["n_tiles"]
+    ext_shared.unpersist()
     snap1 = cpu_snap()
     n_pages = pages.count()
     wall = time.time() - t0
@@ -169,6 +177,18 @@ def main() -> None:
         "page_id", "feature_id"
     ).write.format("noop").mode("overwrite").save()
     stage_walls["pip_join"] = round(time.time() - s0, 2)
+    # r03 forensics: pip_join showed a one-run 8->32 collapse. Run it a
+    # second time (same cached input) and re-count the cache — if the first
+    # wall was an eviction/recompute thrash both repeats are slow and the
+    # recount is slow; if it was a host burst the repeat is fast.
+    s0 = time.time()
+    sj.spatial_join(ext, sj.polygons_df(spark)).select(
+        "page_id", "feature_id"
+    ).write.format("noop").mode("overwrite").save()
+    stage_walls["pip_join2"] = round(time.time() - s0, 2)
+    s0 = time.time()
+    ext.count()
+    stage_walls["ext_recount"] = round(time.time() - s0, 2)
     s0 = time.time()
     stats_in = ext.select(
         "page_id",

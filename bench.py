@@ -67,11 +67,13 @@ def main() -> None:
         "page_id", "text"
     ).write.mode("overwrite").parquet(f"{work}/pages")
 
-    # min of 2 (one-sided host interference, see the suite loop below)
     import threading
 
-    dt = float("inf")
-    for _ in range(2):
+    import pyarrow.parquet as pq
+
+    from geoproc_spark.operators import knn as knn_op
+
+    def run_geo_pipeline() -> float:
         t0 = time.time()
         pages = spark.read.parquet(f"{work}/pages")
         pts_raw = extract.with_coords_arrow(
@@ -103,51 +105,37 @@ def main() -> None:
             th.start()
         for th in ts:
             th.join()
-        n_tiles = res["n_tiles"]
-        dt = min(dt, time.time() - t0)
-    # corpus cardinality is exact by construction (docs x replicate): a
-    # count() here would re-run the whole synthesis subtree a second time
-    import pyarrow.parquet as pq
+        extras["tiles"] = res["n_tiles"]
+        return time.time() - t0
 
-    n_pages = (
-        pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows * REPLICATE
-    )
-    timings["geo_pipeline"] = round(dt, 2)
-    extras["pages"] = n_pages
-    extras["pages_per_sec"] = round(n_pages / dt, 1)
-    extras["tiles"] = n_tiles
-    extras["tiles_per_sec"] = round(n_tiles / dt, 2)
-
-    # ---------------- kNN on the replicated corpus
-    from geoproc_spark.operators import knn as knn_op
-
-    queries_df = spark.createDataFrame(
-        synth.knn_query_points(), "qid long, qlat_s long, qlon_s long, k int"
-    )
-    rep_pages = pts.select(
-        "page_id",
-        F.round(F.col("lat") * 10000).cast("bigint").alias("lat_s"),
-        F.round(F.col("lon") * 10000).cast("bigint").alias("lon_s"),
-    )
-    # row-count hint from parquet footers (the manifest path at scale) —
-    # saves knn_join its density-seed count() job
-    n_pts = sum(
-        pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
-        for dp, _d, fs in os.walk(f"{work}/pts")
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    knn_wall = float("inf")
-    for _ in range(2):
+    def run_geo_knn() -> float:
+        queries_df = spark.createDataFrame(
+            synth.knn_query_points(), "qid long, qlat_s long, qlon_s long, k int"
+        )
+        pts = spark.read.parquet(f"{work}/pts")
+        rep_pages = pts.select(
+            "page_id",
+            F.round(F.col("lat") * 10000).cast("bigint").alias("lat_s"),
+            F.round(F.col("lon") * 10000).cast("bigint").alias("lon_s"),
+        )
+        # row-count hint from parquet footers (the manifest path at scale) —
+        # saves knn_join its density-seed count() job
+        n_pts = sum(
+            pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+            for dp, _d, fs in os.walk(f"{work}/pts")
+            for f in fs
+            if f.endswith(".parquet")
+        )
         spark.catalog.clearCache()
         t0 = time.time()
         materialize(knn_op.knn_join(queries_df, rep_pages, n_pages=n_pts, k_max=5))
-        knn_wall = min(knn_wall, time.time() - t0)
-    timings["geo_knn"] = round(knn_wall, 2)
-    shutil.rmtree(work, ignore_errors=True)
+        return time.time() - t0
 
-    # ---------------- registered suite at native sf (dedup / ann / sql / windows)
-    for name in [
+    # ---------------- the suite: repeats INTERLEAVED across queries
+    # (VERDICT r03 #3). Back-to-back repeats of one query sit inside the
+    # same host-interference burst, so its min stays polluted; a full pass
+    # between repeats separates them by minutes.
+    SUITE = [
         "dedup_minhash_pairs",
         "dedup_simhash",
         "doc_fingerprint",
@@ -159,29 +147,43 @@ def main() -> None:
         "tile_algebra",
         "tile_render",
         "tile_export_projected",
+        "tile_export_utm",
         "geo_extract_html",
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
         "tpch_q6",
         "events_hourly",
+        "events_hourly_stream",
         "events_sessions",
         "events_top3_per_user",
         "events_rollup",
         "events_range_join",
         "text_repetition_filter",
         "corpus_split_assign",
-    ]:
-        # min of 2: the shared host shows one-sided interference bursts
-        # (load >5 observed on an otherwise idle box; a single sample can
-        # read 5-10x); the minimum is the interference-free estimate
-        walls = []
-        for _ in range(2):
+    ]
+    walls: dict[str, list[float]] = {n: [] for n in ["geo_pipeline", "geo_knn", *SUITE]}
+    for _rep in range(2):
+        walls["geo_pipeline"].append(run_geo_pipeline())
+        walls["geo_knn"].append(run_geo_knn())
+        for name in SUITE:
             spark.catalog.clearCache()  # isolate per-query timings
             t0 = time.time()
             materialize(Q.SPARK_QUERIES[name](spark, SF_DIR))
-            walls.append(time.time() - t0)
-        timings[name] = round(min(walls), 2)
+            walls[name].append(time.time() - t0)
+    for name, ws in walls.items():
+        # min over interleaved repeats: the interference-free estimate
+        timings[name] = round(min(ws), 2)
+    shutil.rmtree(work, ignore_errors=True)
+
+    # corpus cardinality is exact by construction (docs x replicate): a
+    # count() here would re-run the whole synthesis subtree a second time
+    n_pages = (
+        pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows * REPLICATE
+    )
+    extras["pages"] = n_pages
+    extras["pages_per_sec"] = round(n_pages / timings["geo_pipeline"], 1)
+    extras["tiles_per_sec"] = round(extras["tiles"] / timings["geo_pipeline"], 2)
 
     total = round(sum(timings.values()), 2)
     print(

@@ -306,6 +306,22 @@ def test_range_join_plans_as_equi_join(spark):
     assert got == want and len(got) > 2000  # overlapping tiers: many-to-many
 
 
+def test_projected_export_semi_join_broadcasts_build_side(spark):
+    """The matched-window semi-join must plan as BroadcastHashJoin LeftSemi
+    with the key-only tile side as the build side. Hinting the preserved
+    (left) side is REJECTED by Spark with a WARN and silently shuffles both
+    sides (VERDICT r03 #2) — pin the fixed shape."""
+    from geoproc_spark import synth
+    from geoproc_spark.image import Image
+
+    img = Image.from_df(
+        synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX
+    )
+    wdf, _ = img.projected_windows(scale=400000.0, crs="epsg:4326", window_size=32)
+    plan = wdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
 def test_helper_column_collisions_rejected(spark):
     """Operators that add helper columns must refuse inputs already carrying
     them (withColumn silently overwrites) — range_join's '_rb', the spatial
