@@ -100,15 +100,21 @@ def main() -> None:
     # --py-files launch path required by the north rule
     run_level(zpath, 32, corpus_dir, launcher="spark-submit", prep=True)
     results = {}
-    for c in LEVELS:
-        # min over repeats: single-box runs see interference bursts (shared
-        # host: up to 23% CPU steal observed); the minimum is the
-        # interference-free estimate of the configuration's capability
-        runs = []
-        for _ in range(REPEATS):
+    # min over repeats, with the LEVELS INTERLEAVED inside each repeat
+    # (2,8,32, 2,8,32, ...): single-box runs see interference bursts AND
+    # slow weather drift (shared host: up to 23% CPU steal observed, and
+    # block-sequential levels each sample a different ~10-min weather
+    # window, making the ratio partly an artifact of when each block ran).
+    # Interleaving gives every level a sample in every window; the minimum
+    # is the interference-free estimate of the configuration's capability.
+    runs_by_level: dict[int, list] = {c: [] for c in LEVELS}
+    for _rep in range(REPEATS):
+        for c in LEVELS:
             r = run_level(zpath, c, corpus_dir)
             print(json.dumps({"run": r}), flush=True)  # forensics: every run
-            runs.append(r)
+            runs_by_level[c].append(r)
+    for c in LEVELS:
+        runs = runs_by_level[c]
         results[c] = min(runs, key=lambda r: r["wall_sec"])
         results[c]["all_walls"] = [r["wall_sec"] for r in runs]
         # stage walls: min PER STAGE across repeats (VERDICT r03 #1 — a
@@ -189,8 +195,8 @@ Secondary pair (T8/T32)/4 = {summary["eff_8_to_32"]}.
 ## Per-stage breakdown (engine vs host)
 
 Sequential per-stage walls inside each timed JVM (join/tiles run from a
-persisted extract so each stage's wall is its own work), from the min-wall
-run per level:
+persisted extract so each stage's wall is its own work), min PER STAGE
+across the level's repeats:
 
 | stage | local[2] (s) | local[8] (s) | local[32] (s) | eff 2->8 | eff 8->32 |
 |---|---|---|---|---|---|
