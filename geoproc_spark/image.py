@@ -721,6 +721,61 @@ class Image:
             )
         return spec
 
+    def export_geotiff(
+        self,
+        path: str,
+        scale: float,
+        crs: str = "epsg:4326",
+        bounds: tuple[float, float, float, float] | None = None,
+        in_crs: str = "epsg:4326",
+        window_size: int = 256,
+        max_pixels: int = 1 << 26,
+    ) -> dict:
+        """Write an ACTUAL .tif — the reference's literal documented
+        workflow `img.export("out.tif", scale=10, crs="epsg:32630")`
+        (server/image.py:162-241), via sources/geotiff.write_geotiff
+        (pure-numpy baseline GeoTIFF, no GDAL). The resample runs
+        DISTRIBUTED (projected_windows); only the final single-file
+        assembly collects windows to the driver, bounded by `max_pixels`
+        (default 64M px ≈ 512 MB float64/band) — beyond that a single
+        .tif is the wrong artifact and `export_projected` (the parquet
+        window table, arbitrarily large) is the scale path, exactly the
+        retile-into-multiple-COGs TODO the reference itself carries at
+        server/image.py:209.
+
+        Nodata pixels are written as NaN with a GDAL_NODATA tag, so
+        read_geotiff reconstructs the same mask. Returns the grid spec."""
+        import math as _math
+
+        import numpy as _np
+
+        from .sources import geotiff as _gt
+
+        wdf, spec = self.projected_windows(
+            scale, crs=crs, bounds=bounds, in_crs=in_crs, window_size=window_size
+        )
+        w, h, nb = spec["width"], spec["height"], self.n_bands
+        if w * h > max_pixels:
+            raise ValueError(
+                f"export grid {w}x{h} exceeds max_pixels={max_pixels} for a "
+                f"single .tif; use export_projected (window table) instead"
+            )
+        data = _np.zeros((nb, h, w), dtype=_np.float64)
+        valid = _np.zeros((h, w), dtype=bool)
+        for row in wdf.toLocalIterator():
+            ww, wh = row["win_w"], row["win_h"]
+            sl = (slice(row["row_off"], row["row_off"] + wh),
+                  slice(row["col_off"], row["col_off"] + ww))
+            for b in range(nb):
+                data[b][sl] = _np.asarray(row["data"][b]).reshape(wh, ww)
+            valid[sl] = _np.asarray(row["mask"]).reshape(wh, ww) == 255
+        data[:, ~valid] = _math.nan
+        ob = spec["out_bounds"]
+        raw = _gt.write_geotiff(data, ob, crs=spec["crs"], nodata=_math.nan)
+        with open(path, "wb") as fh:
+            fh.write(raw)
+        return spec
+
     def export(self, path: str, partition_zooms: bool = True, rows_per_file: int = 4096) -> None:
         """Materialize to a partitioned parquet tile table — the distributed
         analog of the reference's serial 4096^2-window COG export loop

@@ -124,7 +124,8 @@ def read_geotiff(raw: bytes) -> dict:
         s = b"".join(t[42113]).split(b"\x00")[0].decode("ascii").strip()
         if s:
             nodata = float(s)
-            mask = np.where(data[0] == nodata, 0, 255).astype(np.int64)
+            hit = np.isnan(data[0]) if np.isnan(nodata) else data[0] == nodata
+            mask = np.where(hit, 0, 255).astype(np.int64)
 
     return {"data": data, "mask": mask, "bounds": bounds, "crs": crs, "nodata": nodata}
 
@@ -227,6 +228,25 @@ def write_geotiff(
     return bytes(out)
 
 
+def scene_zoom(raw: bytes, tile_side: int = 16) -> int:
+    """Derive the ingest zoom from the scene's native resolution — the
+    reference's load-time max-zoom derivation (server/image.py:497-515,
+    morecantile zoom_for_res) applied to the scene's pixel scale. The
+    TMS resolution ladder is in PROJECTED Web-Mercator meters, where a
+    longitude degree is a constant R*pi/180 meters at every latitude
+    (x = R*lambda) — so the scene's projected m/px comes straight from
+    its longitude span, no cos(lat) factor."""
+    from ..functions import cells
+
+    g = read_geotiff(raw)
+    if g["bounds"] is None:
+        raise ValueError("GeoTIFF lacks georeferencing (tags 33550/33922)")
+    west, _south, east, _north = g["bounds"]
+    _nb, _h, w = g["data"].shape
+    res = (east - west) / w * (cells.EARTH_CIRCUMFERENCE / 360.0)
+    return cells.zoom_for_res(res, tilesize=tile_side)
+
+
 def scene_tile_rows(
     raw: bytes, zoom: int, tile_side: int = 16
 ) -> list[tuple[int, int, int, list[list[float]], list[int]]]:
@@ -281,10 +301,28 @@ def scene_tile_rows(
     return rows
 
 
-def ingest_geotiffs(spark, path: str, zoom: int, tile_side: int = 16):
+def ingest_geotiffs(spark, path: str, zoom: int | None = None, tile_side: int = 16):
     """Distributed scene ingest: binaryFile scan -> per-scene tile cut in
     mapInPandas -> engine tile table (z, x, y, data, mask). Returns the
-    tile DataFrame; wrap with Image.from_df for the operator surface."""
+    tile DataFrame; wrap with Image.from_df for the operator surface.
+
+    zoom=None derives the grid zoom from the FIRST scene's native
+    resolution (scene_zoom — one driver-side header read of one file, no
+    pixel scan of the corpus); pass it explicitly when the archive's grid
+    is known."""
+    if zoom is None:
+        import glob as _glob
+        import os as _os
+
+        cand = sorted(
+            _glob.glob(_os.path.join(path, "**", "*.tif*"), recursive=True)
+            + _glob.glob(path)
+        )
+        cand = [c for c in cand if _os.path.isfile(c)]
+        if not cand:
+            raise ValueError(f"no .tif files under {path} to derive zoom from")
+        with open(cand[0], "rb") as fh:
+            zoom = scene_zoom(fh.read(), tile_side)
     import pandas as pd
     from pyspark.sql import types as T
 

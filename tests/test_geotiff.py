@@ -94,6 +94,48 @@ def test_read_chunky_planar_config():
     assert np.array_equal(g["data"], data)
 
 
+def test_export_geotiff_roundtrip(spark, tmp_path):
+    """The reference's literal workflow: export an actual .tif (UTM CRS),
+    read it back with the independent reader, and get the same pixels and
+    mask the distributed window table carries."""
+    from geoproc_spark import synth
+
+    img = Image.from_df(
+        synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX
+    )
+    out = tmp_path / "out.tif"
+    bounds = (-6.0, 40.0, -0.5, 50.0)
+    spec = img.export_geotiff(
+        str(out), scale=10000.0, crs="epsg:32630", bounds=bounds, window_size=32
+    )
+    g = gt.read_geotiff(out.read_bytes())
+    assert g["crs"] == "epsg:32630"
+    assert g["data"].shape == (2, spec["height"], spec["width"])
+    assert np.allclose(g["bounds"], spec["out_bounds"])
+
+    # reassemble the distributed window table driver-side and compare
+    wdf, _ = img.projected_windows(
+        scale=10000.0, crs="epsg:32630", bounds=bounds, window_size=32
+    )
+    want = np.zeros((2, spec["height"], spec["width"]))
+    vmask = np.zeros((spec["height"], spec["width"]), dtype=bool)
+    for r in wdf.collect():
+        sl = (slice(r["row_off"], r["row_off"] + r["win_h"]),
+              slice(r["col_off"], r["col_off"] + r["win_w"]))
+        for b in range(2):
+            want[b][sl] = np.asarray(r["data"][b]).reshape(r["win_h"], r["win_w"])
+        vmask[sl] = np.asarray(r["mask"]).reshape(r["win_h"], r["win_w"]) == 255
+    assert vmask.any() and not vmask.all()  # fixture has both valid + nodata
+    assert (g["mask"] == np.where(vmask, 255, 0)).all()
+    assert np.array_equal(g["data"][:, vmask], want[:, vmask])
+    assert np.isnan(g["data"][:, ~vmask]).all()
+
+    with pytest.raises(ValueError, match="max_pixels"):
+        img.export_geotiff(
+            str(out), scale=100.0, crs="epsg:32630", bounds=bounds, max_pixels=1000
+        )
+
+
 def test_distributed_ingest_matches_numpy_algebra(spark, tmp_path):
     """binaryFile scan -> per-scene tile cut -> Image algebra: the engine
     result over ingested .tif scenes equals the pure-numpy computation."""
@@ -113,7 +155,11 @@ def test_distributed_ingest_matches_numpy_algebra(spark, tmp_path):
         )
         scenes[(tx0, ty0)] = data
 
-    tiles = gt.ingest_geotiffs(spark, str(tmp_path), zoom=zoom, tile_side=side)
+    # zoom auto-derived from the first scene's native resolution: these
+    # scenes ARE grid-aligned 16-px z=5 tiles, so zoom_for_res must
+    # recover exactly z=5 (the F10 derivation applied at ingest)
+    assert gt.scene_zoom((tmp_path / "scene0.tif").read_bytes(), side) == zoom
+    tiles = gt.ingest_geotiffs(spark, str(tmp_path), tile_side=side)
     img = Image.from_df(tiles, 1, side * side)
     doubled = img * 2 + 1
     got = {
