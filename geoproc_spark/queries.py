@@ -703,11 +703,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md5(text) AS th",
         ),
     )
-    mins = [
-        f"array_min(transform(h60, x -> ({a}L * (x % {synth.MINHASH_P}) + {b}L) % {synth.MINHASH_P}L)) AS mh{p}"
-        for p, a, b in synth.minhash_perms()
-    ]
-    sigs = base.filter("size(h60) > 0").selectExpr("doc_id", *mins)
+    # single-accumulator fold (same trick as dd.minhash_signatures): one
+    # pass over the shingle array carries all 16 minima; the 32-bit
+    # reduction x % P hoists into the aggregate's input transform so it
+    # runs once per shingle, not once per (shingle, perm)
+    perms = synth.minhash_perms()
+    pstructs = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for _, a, b in perms)
+    fold = (
+        f"aggregate(transform(h60, x -> x % {synth.MINHASH_P}), "
+        f"array_repeat({synth.MINHASH_P}L, {len(perms)}), "
+        f"(acc, y) -> zip_with(acc, array({pstructs}), "
+        f"(m, p) -> least(m, (p.a * y + p.b) % {synth.MINHASH_P}L)))"
+    )
+    sigs = (
+        base.filter("size(h60) > 0")
+        .selectExpr("doc_id", f"{fold} AS mins")
+        .selectExpr(
+            "doc_id", *[f"element_at(mins, {p + 1}) AS mh{p}" for p, _, _ in perms]
+        )
+    )
     # persist bands before the self-join, or BOTH join sides re-run the 16
     # minhash folds over the cached hash arrays (the same reuse
     # lsh_candidate_pairs gets from its own swap_cache)
