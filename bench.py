@@ -136,6 +136,7 @@ def main() -> None:
     # same host-interference burst, so its min stays polluted; a full pass
     # between repeats separates them by minutes.
     SUITE = [
+        "corpus_chunk_dedup",
         "dedup_minhash_pairs",
         "dedup_simhash",
         "doc_fingerprint",

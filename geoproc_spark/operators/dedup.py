@@ -296,6 +296,51 @@ def connected_components(
     return swap_cache("cc_labels", labels)  # max_rounds == 0 degenerate
 
 
+def chunk_dedup_stats(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
+    """Duplicated-span removal stats — the scalable chunk-level
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public):
+    split each doc into fixed K-token chunks, count every chunk's
+    corpus-wide occurrences, report per doc how many chunks are duplicated
+    anywhere in the corpus and how many tokens survive removing them.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, n_kept_tokens).
+
+    Scale shape: chunking is a pure map (rows grow by n_tokens/K, never
+    quadratic); the occurrence count is ONE hash aggregate on the chunk
+    hash whose HashPartitioning is REUSED by the join back (same key — no
+    second shuffle of the counted side); the per-doc rollup is a second
+    hash aggregate. Hot boilerplate chunks are a skewed join key — AQE
+    skew-join splits them, and the join carries only (hash, count), never
+    chunk text.
+
+    The token array is materialized as a named column before the chunk
+    transform: slice() inside a HOF lambda over an INLINE split() would
+    re-run the split per chunk — O(n_tokens^2 / K) per doc (the measured
+    ~100x repetition-filter trap, functions/text.py)."""
+    K = int(chunk_tokens)
+    if K <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    toks_df = docs.selectExpr("doc_id", "split(text, ' ') AS toks")
+    chunked = toks_df.selectExpr(
+        "doc_id",
+        f"""posexplode(transform(
+              sequence(0, CAST(ceil(size(toks) / {K}.0) AS INT) - 1),
+              i -> named_struct(
+                'ch', md5(concat_ws(' ', slice(toks, i * {K} + 1, {K}))),
+                'ctok', least({K}, size(toks) - i * {K})))) AS (chunk_idx, c)""",
+    ).select("doc_id", F.col("c.ch").alias("ch"), F.col("c.ctok").alias("ctok"))
+    counts = chunked.groupBy("ch").agg(F.count("*").alias("n_occ"))
+    joined = chunked.join(counts, "ch")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((F.col("n_occ") > 1).cast("bigint")).alias("n_dup_chunks"),
+        F.sum(F.when(F.col("n_occ") == 1, F.col("ctok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept_tokens"),
+    )
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs:
     (doc_a, doc_b, n_inter, n_union) — integer-exact, ratio left to the

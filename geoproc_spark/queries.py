@@ -510,6 +510,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_chunk_dedup",
+    f"""
+WITH docs AS ({synth.DOCS_DUP_SQL}),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(len(toks) / 20.0) AS INT) - 1),
+           i -> struct_pack(
+             ch := md5(array_to_string(toks[(i*20+1):(i*20+20)], ' ')),
+             ctok := least(20, len(toks) - i*20)))) AS u
+  FROM t
+),
+h AS (SELECT doc_id, u.ch AS ch, u.ctok AS ctok FROM c),
+n AS (SELECT ch, count(*) AS n_occ FROM h GROUP BY ch)
+SELECT h.doc_id AS doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN n.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN n.n_occ = 1 THEN h.ctok ELSE 0 END) AS BIGINT) AS n_kept_tokens
+FROM h JOIN n USING (ch)
+GROUP BY h.doc_id
+""",
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span (chunk-level exact) dedup over the dup-planted
+    corpus — the distributed stand-in for suffix-array substring dedup
+    (operators/dedup.chunk_dedup_stats): exact duplicates share every
+    20-token chunk, suffix-mutated near-dups share all but the tail."""
+    return dd.chunk_dedup_stats(dd.spread(synth.docs_dup_df(spark, sf_dir)))
+
+
+@query(
     "dedup_minhash_pairs",
     f"""
 WITH docs AS ({synth.DOCS_DUP_SQL}),
@@ -1197,9 +1229,16 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"hourly_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="geoproc_stream_ckpt_")
-    return windowed.run_hourly_stream(
-        spark, f"{sf_dir}/events.parquet", ckpt, out_table=name
-    )
+    try:
+        return windowed.run_hourly_stream(
+            spark, f"{sf_dir}/events.parquet", ckpt, out_table=name
+        )
+    finally:
+        # complete-mode results live in the memory sink; the checkpoint is
+        # only needed while the availableNow run is in flight
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query(

@@ -261,6 +261,28 @@ def test_connected_components_long_chain(spark):
     assert out == {i: 0 for i in range(12)}
 
 
+def test_chunk_dedup_stats_counts_cross_doc_spans(spark):
+    """Chunk-level span dedup: docs sharing a 20-token prefix have that
+    chunk flagged as duplicated; unique chunks keep their tokens
+    (including short tail chunks)."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(20))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(7))),
+            (3, " ".join(f"c{i}" for i in range(25))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.n_kept_tokens)
+        for r in dd.chunk_dedup_stats(docs).collect()
+    }
+    assert out[1] == (2, 1, 20)  # shared prefix dropped, unique 20 kept
+    assert out[2] == (2, 1, 7)  # 7-token tail chunk survives
+    assert out[3] == (2, 0, 25)  # fully unique: 20 + 5-token tail
+
+
 def test_repetition_filter_drops_looping_text(spark):
     """The Gopher-style gate: a doc that is one phrase looping must be
     dropped; normal prose passes; a doc made of one repeated token is
