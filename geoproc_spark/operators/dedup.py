@@ -307,12 +307,13 @@ def chunk_dedup_stats(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
     Returns (doc_id, n_chunks, n_dup_chunks, n_kept_tokens).
 
     Scale shape: chunking is a pure map (rows grow by n_tokens/K, never
-    quadratic); the occurrence count is ONE hash aggregate on the chunk
-    hash whose HashPartitioning is REUSED by the join back (same key — no
-    second shuffle of the counted side); the per-doc rollup is a second
-    hash aggregate. Hot boilerplate chunks are a skewed join key — AQE
-    skew-join splits them, and the join carries only (hash, count), never
-    chunk text.
+    quadratic) that runs ONCE — the occurrence count is a count-over-window
+    on the chunk hash, so the corpus scans a single time and the plan has
+    exactly two Exchanges (chunk hash for the window, doc_id for the
+    rollup; plan-asserted). The groupBy+join-back alternative scans the
+    corpus twice and adds a third shuffle. The window partition key is the
+    16-byte md5, never chunk text; hot boilerplate chunks skew the window
+    partition, which is in-partition counting, not a join explosion.
 
     The token array is materialized as a named column before the chunk
     transform: slice() inside a HOF lambda over an INLINE split() would
@@ -330,9 +331,12 @@ def chunk_dedup_stats(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
                 'ch', md5(concat_ws(' ', slice(toks, i * {K} + 1, {K}))),
                 'ctok', least({K}, size(toks) - i * {K})))) AS (chunk_idx, c)""",
     ).select("doc_id", F.col("c.ch").alias("ch"), F.col("c.ctok").alias("ctok"))
-    counts = chunked.groupBy("ch").agg(F.count("*").alias("n_occ"))
-    joined = chunked.join(counts, "ch")
-    return joined.groupBy("doc_id").agg(
+    from pyspark.sql import Window
+
+    counted = chunked.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("ch"))
+    )
+    return counted.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum((F.col("n_occ") > 1).cast("bigint")).alias("n_dup_chunks"),
         F.sum(F.when(F.col("n_occ") == 1, F.col("ctok")).otherwise(F.lit(0)))

@@ -282,6 +282,12 @@ def test_chunk_dedup_stats_counts_cross_doc_spans(spark):
     assert out[2] == (2, 1, 7)  # 7-token tail chunk survives
     assert out[3] == (2, 0, 25)  # fully unique: 20 + 5-token tail
 
+    # plan: single corpus scan, exactly two shuffles (window on chunk
+    # hash + rollup on doc_id) — the join-back shape would scan twice
+    plan = dd.chunk_dedup_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
 
 def test_repetition_filter_drops_looping_text(spark):
     """The Gopher-style gate: a doc that is one phrase looping must be
