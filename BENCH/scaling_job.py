@@ -126,6 +126,18 @@ def main() -> None:
         # user nice system idle iowait irq softirq steal
         return [int(x) for x in parts[1:9]]
 
+    def pinned_mhz():
+        # mean clock of the pinned cores — evidences frequency asymmetry
+        # (narrow runs riding turbo that wide runs cannot hold)
+        mhz, n = 0.0, 0
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("cpu MHz"):
+                    if n < args.cpus:
+                        mhz += float(line.split(":")[1])
+                    n += 1
+        return round(mhz / max(min(n, args.cpus), 1), 1)
+
     snap0 = cpu_snap()
     t0 = time.time()
     ext_shared = extracted().persist()
@@ -155,6 +167,7 @@ def main() -> None:
     for th in threads:
         th.join()
     t1 = t2 = time.time()
+    mid_mhz = pinned_mhz()
     n_tiles = results["n_tiles"]
     ext_shared.unpersist()
     snap1 = cpu_snap()
@@ -220,6 +233,7 @@ def main() -> None:
                 "join_pipeline_sec": round(t1 - t0, 2),
                 "tiles_pipeline_sec": round(t2 - t1, 2),
                 "stage_walls": stage_walls,
+                "pinned_mhz": mid_mhz,
                 "sf_dir": args.sf_dir,
                 **cpu_acct,
             }
