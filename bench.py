@@ -137,6 +137,7 @@ def main() -> None:
     # between repeats separates them by minutes.
     SUITE = [
         "corpus_chunk_dedup",
+        "corpus_url_dedup",
         "dedup_minhash_pairs",
         "dedup_simhash",
         "doc_fingerprint",

@@ -148,6 +148,57 @@ def split_assign(key: Column, val_pct: int = 1, test_pct: int = 1) -> Column:
     )
 
 
+TRACKING_PARAM_RE = "^(utm_|fbclid=|gclid=|ref=)"
+
+
+def canonical_url_sql_spark(col: str) -> str:
+    """Spark-SQL expression: canonical form of a URL for dedup keying —
+    the standard Common-Crawl-style normalization: drop scheme, leading
+    'www.', fragment, tracking query params (utm_*/fbclid/gclid/ref), and
+    trailing slashes; sort surviving query params; lowercase. Pure JVM
+    (regexp + array HOFs), portable to the DuckDB twin below. All regex
+    patterns are anchored, so 'replace first' (DuckDB) == 'replace all'
+    (Spark)."""
+    base = (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'^https?://', ''), '^www\\\\.', ''), '#.*$', '')"
+    )
+    path = f"regexp_replace(regexp_replace({base}, '\\\\?.*$', ''), '/+$', '')"
+    q = f"regexp_extract({base}, '\\\\?(.*)$', 1)"
+    kept = (
+        f"array_sort(filter(split({q}, '&'), "
+        f"p -> p != '' AND NOT p rlike '{TRACKING_PARAM_RE}'))"
+    )
+    return (
+        f"lower(concat({path}, CASE WHEN size({kept}) > 0 "
+        f"THEN concat('?', concat_ws('&', {kept})) ELSE '' END))"
+    )
+
+
+def canonical_url_sql_duckdb(col: str) -> str:
+    """DuckDB twin of canonical_url_sql_spark (same spec, same values)."""
+    base = (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'^https?://', ''), '^www\\.', ''), '#.*$', '')"
+    )
+    path = f"regexp_replace(regexp_replace({base}, '\\?.*$', ''), '/+$', '')"
+    q = f"regexp_extract({base}, '\\?(.*)$', 1)"
+    kept = (
+        f"list_sort(list_filter(string_split({q}, '&'), "
+        f"p -> p != '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))"
+    )
+    return (
+        f"lower({path} || CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END)"
+    )
+
+
+def canonical_url_expr(col_name: str) -> Column:
+    """Column form of canonical_url_sql_spark (takes the column NAME —
+    routed through the SQL builder so the two dialects can never diverge)."""
+    return F.expr(canonical_url_sql_spark(col_name))
+
+
 def lang_pred(n_stop: Column, n_tokens: Column) -> Column:
     """Heuristic language id: >= 5% pinned-stopword mass -> 'en'.
 

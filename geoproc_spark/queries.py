@@ -1526,6 +1526,77 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted URL variants (shared dialect): tracking-params copy, scheme/www/
+# trailing-slash copy, fragment copy, and a reordered-params pair that must
+# canonicalize together but NOT onto the bare base url
+_URL_VARIANTS_SQL = """
+SELECT page_id, url FROM pages
+UNION ALL
+SELECT page_id + 10000000 AS page_id,
+       concat(url, '?utm_source=feed&gclid=abc&utm_campaign=x') AS url
+FROM pages WHERE page_id % 7 = 0
+UNION ALL
+SELECT page_id + 20000000 AS page_id,
+       concat('http://www.', regexp_replace(url, '^https://', ''), '/') AS url
+FROM pages WHERE page_id % 11 = 0
+UNION ALL
+SELECT page_id + 30000000 AS page_id, concat(url, '#frag') AS url
+FROM pages WHERE page_id % 13 = 0
+UNION ALL
+SELECT page_id + 40000000 AS page_id, concat(url, '?b=2&a=1&utm_medium=m') AS url
+FROM pages WHERE page_id % 17 = 0
+UNION ALL
+SELECT page_id + 50000000 AS page_id, concat(url, '?a=1&b=2') AS url
+FROM pages WHERE page_id % 17 = 0
+"""
+
+
+@query(
+    "corpus_url_dedup",
+    f"""
+WITH pages AS ({synth.pages_sql()}),
+v AS ({_URL_VARIANTS_SQL}),
+c AS (SELECT page_id, {TX.canonical_url_sql_duckdb("url")} AS canon FROM v)
+SELECT canon, count(*) AS n_pages, min(page_id) AS min_page,
+       max(page_id) AS max_page
+FROM c GROUP BY canon HAVING count(*) > 1
+""",
+)
+def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (crawl preprocessing staple): group
+    pages whose URLs normalize to the same canonical form — scheme/'www.'/
+    fragment/tracking-param/trailing-slash variants collapse, surviving
+    query params sort. One hash aggregate on the canonical string
+    (functions/text.canonical_url_expr, JVM regex + array HOFs); the
+    variant corpus plants each variant class, including a reordered-params
+    pair that must group together but apart from the bare url."""
+    pages = synth.pages_df(spark, sf_dir).select("page_id", "url")
+    v = pages
+    for off, expr in [
+        (10000000, "concat(url, '?utm_source=feed&gclid=abc&utm_campaign=x')"),
+        (20000000, "concat('http://www.', regexp_replace(url, '^https://', ''), '/')"),
+        (30000000, "concat(url, '#frag')"),
+        (40000000, "concat(url, '?b=2&a=1&utm_medium=m')"),
+        (50000000, "concat(url, '?a=1&b=2')"),
+    ]:
+        mod = {10000000: 7, 20000000: 11, 30000000: 13, 40000000: 17, 50000000: 17}[off]
+        v = v.unionByName(
+            pages.filter(F.col("page_id") % mod == 0).selectExpr(
+                f"page_id + {off} AS page_id", f"{expr} AS url"
+            )
+        )
+    return (
+        v.select("page_id", TX.canonical_url_expr("url").alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min("page_id").alias("min_page"),
+            F.max("page_id").alias("max_page"),
+        )
+        .filter(F.col("n_pages") > 1)
+    )
+
+
 @query(
     "corpus_domain_stats",
     f"""

@@ -261,6 +261,26 @@ def test_connected_components_long_chain(spark):
     assert out == {i: 0 for i in range(12)}
 
 
+def test_canonical_url_normalization_cases(spark):
+    """The canonical-URL spec: scheme/'www.'/fragment/tracking-params/
+    trailing-slash collapse; surviving params sort; case folds."""
+    from geoproc_spark.functions import text as TX
+
+    cases = [
+        ("https://Site9.example/p/1", "site9.example/p/1"),
+        ("http://www.site9.example/p/1/", "site9.example/p/1"),
+        ("https://site9.example/p/1#frag", "site9.example/p/1"),
+        ("https://site9.example/p/1?utm_source=x&gclid=1", "site9.example/p/1"),
+        ("https://site9.example/p/1?b=2&a=1&utm_medium=m", "site9.example/p/1?a=1&b=2"),
+        ("https://site9.example/p/1?a=1&b=2", "site9.example/p/1?a=1&b=2"),
+        ("site9.example/p/1?ref=hn", "site9.example/p/1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r.i: r.canon for r in df.select("i", TX.canonical_url_expr("url").alias("canon")).collect()}
+    for i, (_u, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
 def test_chunk_dedup_stats_counts_cross_doc_spans(spark):
     """Chunk-level span dedup: docs sharing a 20-token prefix have that
     chunk flagged as duplicated; unique chunks keep their tokens
