@@ -1242,6 +1242,72 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT v.user_id AS user_id,
+       CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS funnel_depth,
+       v.t1 AS first_view_ts
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON c.user_id = p.user_id
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> click -> purchase, strictly
+    increasing timestamps): per user, how deep into the funnel they got,
+    plus their first view time. Spark-first single-pass shape: ONE shuffle
+    (groupBy user collects the sorted event array), then an aggregate()
+    fold advances a (depth, stage_ts) state machine — where the SQL oracle
+    needs three join+aggregate passes, one per stage. Equal-timestamp
+    events cannot advance a stage on either side (strict >), so tie order
+    inside the sorted array never changes the result."""
+    synth.load_tables(spark, sf_dir, ["events"])
+    return funnel_from_events(spark.table("events"))
+
+
+def funnel_from_events(ev: DataFrame) -> DataFrame:
+    """The funnel pipeline over any (event_id, ts, user_id, event_type)
+    frame — shared by the driver query and the semantics unit test."""
+    arr = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+    )
+    fold = """
+aggregate(evs,
+  named_struct('d', 0, 'vt', CAST(NULL AS TIMESTAMP_NTZ), 'st', CAST(NULL AS TIMESTAMP_NTZ)),
+  (a, e) -> CASE
+    WHEN a.d = 0 AND e.event_type = 'view'
+      THEN named_struct('d', 1, 'vt', e.ts, 'st', e.ts)
+    WHEN a.d = 1 AND e.event_type = 'click' AND e.ts > a.st
+      THEN named_struct('d', 2, 'vt', a.vt, 'st', e.ts)
+    WHEN a.d = 2 AND e.event_type = 'purchase' AND e.ts > a.st
+      THEN named_struct('d', 3, 'vt', a.vt, 'st', e.ts)
+    ELSE a END)
+"""
+    return (
+        arr.selectExpr("user_id", f"{fold} AS f")
+        .filter("f.d >= 1")
+        .selectExpr(
+            "user_id",
+            "CAST(f.d AS INT) AS funnel_depth",
+            "f.vt AS first_view_ts",
+        )
+    )
+
+
+@query(
     "events_sessions",
     """
 WITH g AS (

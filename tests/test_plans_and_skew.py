@@ -306,6 +306,42 @@ def test_range_join_plans_as_equi_join(spark):
     assert got == want and len(got) > 2000  # overlapping tiers: many-to-many
 
 
+def test_events_funnel_strict_order_semantics(spark):
+    """The funnel fold advances only on strictly later timestamps and in
+    stage order: a click BEFORE the first view doesn't count, an
+    equal-timestamp click can't advance, and out-of-order purchases wait
+    for a click."""
+    from datetime import datetime as dt
+
+    from geoproc_spark import queries as Q
+
+    rows = [
+        # u1: full ordered funnel -> depth 3
+        (1, dt(2024, 1, 1, 10), 1, "view"),
+        (2, dt(2024, 1, 1, 11), 1, "click"),
+        (3, dt(2024, 1, 1, 12), 1, "purchase"),
+        # u2: click precedes the first view -> stuck at depth 1
+        (4, dt(2024, 1, 1, 9), 2, "click"),
+        (5, dt(2024, 1, 1, 10), 2, "view"),
+        # u3: click at EXACTLY the view ts -> strict > blocks it
+        (6, dt(2024, 1, 1, 10), 3, "view"),
+        (7, dt(2024, 1, 1, 10), 3, "click"),
+        # u4: purchase before click -> depth 2 only (view+click)
+        (8, dt(2024, 1, 1, 10), 4, "view"),
+        (9, dt(2024, 1, 1, 11), 4, "purchase"),
+        (10, dt(2024, 1, 1, 12), 4, "click"),
+        # u5: no view at all -> excluded
+        (11, dt(2024, 1, 1, 10), 5, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = {
+        r.user_id: r.funnel_depth for r in Q.funnel_from_events(ev).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 2}
+
+
 def test_projected_export_semi_join_broadcasts_build_side(spark):
     """The matched-window semi-join must plan as BroadcastHashJoin LeftSemi
     with the key-only tile side as the build side. Hinting the preserved
