@@ -95,7 +95,14 @@ def minhash_signatures(docs: DataFrame, perms: list[tuple[int, int, int]]) -> Da
         f"(acc, x) -> zip_with(acc, array({pstructs}), "
         f"(m, p) -> least(m, (p.a * x + p.b) % {TX.H32_P}L)))"
     )
-    cols = [f"element_at(mins, {p + 1}) AS mh{p}" for p, _, _ in perms]
+    # unpack by LIST POSITION (enumerate), not by pid value: the fold's
+    # accumulator is ordered by the perms list, so a caller passing
+    # non-sequential pids would otherwise read the wrong (or a missing)
+    # slot — pid only names the output column (ADVICE r04)
+    cols = [
+        f"element_at(mins, {i + 1}) AS mh{pid}"
+        for i, (pid, _, _) in enumerate(perms)
+    ]
     return (
         docs.selectExpr("doc_id", f"{_shingle_h32_expr()} AS h")
         # docs too short to shingle have NO signature (the fold over an

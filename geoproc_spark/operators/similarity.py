@@ -337,10 +337,19 @@ class _DropStats:
 
     @property
     def get(self) -> dict:
+        # Narrow catch (ADVICE r04): only the two known "metrics not
+        # collected" shapes fall back to the exact recompute job —
+        # AssertionError (pyspark Observation.get before any action) and
+        # the Py4J error raised when AQE's empty-relation propagation
+        # pruned the CollectMetrics node. Anything else propagates.
         try:
             return self._obs.get
-        except Exception:
+        except AssertionError:
             return self._recompute()
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if type(e).__module__.startswith("py4j"):
+                return self._recompute()
+            raise
 
 
 def embedding_near_dups(
@@ -353,6 +362,7 @@ def embedding_near_dups(
     seed: int = 42,
     max_bucket_size: int | None = 4096,
     target_bucket_rows: int = 1024,
+    with_stats: bool = False,
 ) -> DataFrame:
     """(vec_a < vec_b) pairs with cosine > threshold.
 
@@ -375,8 +385,13 @@ def embedding_near_dups(
       vectors, one dominant direction) are exactly where sign-LSH carries
       no information; genuinely near-identical dups still pair through
       their other bands. None disables the cap. The drop is NOT silent:
-      the returned frame carries `_neardup_drop_observation` (a pyspark
-      Observation) reporting dropped (row, band) entries after any action.
+      pass `with_stats=True` to get `(pairs, stats)` where `stats` is a
+      `_DropStats` (None when no cap is set) — `stats.get` reports dropped
+      (row, band) entries after any action on `pairs`. The same object is
+      also attached as `pairs._neardup_drop_observation` for callers that
+      hold THIS exact frame, but any transformation returns a new
+      DataFrame without the attribute (ADVICE r04) — the tuple is the
+      durable API.
 
     Candidate recall for a pair at cosine c is 1-(1-p^band_bits)^n_bands
     with p = 1 - arccos(c)/pi (~0.985 at c=0.95 with 4x4; -> 1 as c -> 1),
@@ -387,7 +402,8 @@ def embedding_near_dups(
     a count job here).
     """
     if corpus_rows is not None and corpus_rows <= broadcast_limit:
-        return embedding_near_dups_broadcast(corpus, threshold)
+        exact = embedding_near_dups_broadcast(corpus, threshold)
+        return (exact, None) if with_stats else exact
     if corpus_rows is not None:
         import math
 
@@ -446,7 +462,7 @@ def embedding_near_dups(
     pairs = bucketed.groupBy("band_id", "band_code").applyInPandas(pair_gemm, schema)
     out = pairs.distinct()
     out._neardup_drop_observation = dropped_obs
-    return out
+    return (out, dropped_obs) if with_stats else out
 
 
 def embedding_near_dups_broadcast(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -751,7 +751,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter("size(h60) > 0")
         .selectExpr("doc_id", f"{fold} AS mins")
         .selectExpr(
-            "doc_id", *[f"element_at(mins, {p + 1}) AS mh{p}" for p, _, _ in perms]
+            "doc_id",
+            # by list position, not pid value (ADVICE r04 — see
+            # dd.minhash_signatures)
+            *[
+                f"element_at(mins, {i + 1}) AS mh{pid}"
+                for i, (pid, _, _) in enumerate(perms)
+            ],
         )
     )
     # persist bands before the self-join, or BOTH join sides re-run the 16

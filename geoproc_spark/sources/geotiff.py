@@ -1,13 +1,17 @@
 """Minimal GeoTIFF ingest/egress — pure Python/numpy, no GDAL.
 
-Closes VERDICT r03 #7: the reference opens any GDAL raster
-(/root/reference/geoproc/server/image.py:92-118, 441-443); this sandbox has
-no GDAL, so actual `.tif` files come in through a from-scratch reader of
-the public specs — baseline TIFF 6.0 (little/big-endian classic TIFFs,
-Compression=1 strips, chunky or planar) plus the GeoTIFF georeferencing
-tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory 34735,
-GDAL_NODATA 42113). The writer emits the same subset, so round-trips are
-byte-exact and the reader is testable without external fixtures.
+Closes VERDICT r03 #7 and r04 #3: the reference opens any GDAL raster
+(/root/reference/geoproc/server/image.py:92-118, 441-443) and writes
+deflate-compressed 512x512-tiled COGs (server/image.py:210-219); this
+sandbox has no GDAL, so actual `.tif` files come in through a from-scratch
+reader of the public specs — TIFF 6.0 (little/big-endian classic TIFFs,
+strip- OR tile-organized, Compression 1/8/32946 with the zlib from the
+stdlib, horizontal-differencing Predictor 2, chunky or planar) plus the
+GeoTIFF georeferencing tags (ModelPixelScale 33550, ModelTiepoint 33922,
+GeoKeyDirectory 34735, GDAL_NODATA 42113). The writer emits the same
+subset (including the reference's deflate+tiled COG profile), so
+round-trips are byte-exact and the reader is testable without external
+fixtures.
 
 Distributed ingest shape (SURVEY §2.1 S-in): each scene is one task —
 `spark.read.format("binaryFile")` rows feed `scene_tile_rows` inside
@@ -50,8 +54,30 @@ def _read_ifd_entries(buf: bytes, bo: str, off: int) -> dict[int, tuple]:
     return out
 
 
+def _decode_chunk(
+    raw: bytes, off: int, cnt: int, comp: int, dtype: np.dtype, predictor: int,
+    rows: int, row_samples: int,
+) -> np.ndarray:
+    """One strip/tile payload -> flat sample array of `rows * row_samples`
+    values (caller reshapes). Handles deflate (8 / legacy 32946) via stdlib
+    zlib and horizontal-differencing Predictor 2 (row-wise cumsum over the
+    interleaved samples — the COG default for integer data)."""
+    buf = raw[off:off + cnt]
+    if comp in (8, 32946):
+        import zlib
+
+        buf = zlib.decompress(buf)
+    a = np.frombuffer(buf, dtype=dtype, count=rows * row_samples)
+    if predictor == 2:
+        a = np.cumsum(
+            a.reshape(rows, row_samples).astype(np.int64), axis=1, dtype=np.int64
+        ).astype(dtype).ravel()
+    return a
+
+
 def read_geotiff(raw: bytes) -> dict:
-    """Parse an uncompressed baseline (Geo)TIFF from bytes.
+    """Parse a (Geo)TIFF from bytes: strip- or tile-organized, Compression
+    1 (none) / 8, 32946 (deflate), Predictor 1/2, chunky or planar.
 
     Returns {data: float64 (bands, H, W), mask: int64 (H, W), bounds,
     crs, nodata} — mask is 0 where a band-0 pixel equals GDAL_NODATA,
@@ -70,36 +96,68 @@ def read_geotiff(raw: bytes) -> dict:
     w, h = t[256][0], t[257][0]
     spp = t.get(277, (1,))[0]
     comp = t.get(259, (1,))[0]
-    if comp != 1:
-        raise ValueError(f"unsupported TIFF compression {comp} (baseline reader)")
+    if comp not in (1, 8, 32946):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (supported: 1 none, 8/32946 deflate)"
+        )
+    predictor = t.get(317, (1,))[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor} (supported: 1, 2)")
     bits = t.get(258, (1,) * spp)[0]
     sfmt = t.get(339, (1,) * spp)[0]
     dt = _DTYPES.get((sfmt, bits))
     if dt is None:
         raise ValueError(f"unsupported sample format/bits ({sfmt}, {bits})")
+    if predictor == 2 and dt[0] == "f":
+        raise ValueError("predictor 2 applies to integer samples only")
     dtype = np.dtype(bo + dt)
     planar = t.get(284, (1,))[0]
-    rps = t.get(278, (h,))[0]
-    offs, cnts = t[273], t[279]
 
-    if planar == 2:
-        # band-separate: strips ordered band-major
+    if 322 in t:  # tile-organized (TileWidth/TileLength/TileOffsets)
+        tw, th = t[322][0], t[323][0]
+        offs, cnts = t[324], t[325]
+        ta, td = (w + tw - 1) // tw, (h + th - 1) // th
+        tpb = ta * td  # tiles per band-plane (planar) or per image (chunky)
+        cspp = 1 if planar == 2 else spp  # samples interleaved per tile row
+        nplanes = spp if planar == 2 else 1
+        full = np.zeros((spp, td * th, ta * tw), dtype=np.float64)
+        for p in range(nplanes):
+            for i in range(tpb):
+                tyi, txi = divmod(i, ta)
+                a = _decode_chunk(
+                    raw, offs[p * tpb + i], cnts[p * tpb + i], comp, dtype,
+                    predictor, th, tw * cspp,
+                )
+                if planar == 2:
+                    full[p, tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw] = (
+                        a.reshape(th, tw)
+                    )
+                else:
+                    blk = a.reshape(th, tw, spp).transpose(2, 0, 1)
+                    full[:, tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw] = blk
+        data = full[:, :h, :w]
+    else:  # strip-organized
+        rps = t.get(278, (h,))[0]
+        offs, cnts = t[273], t[279]
         spb = (h + rps - 1) // rps
-        bands = []
-        for b in range(spp):
-            parts = [
-                np.frombuffer(raw, dtype=dtype, count=cnts[b * spb + s] // dtype.itemsize,
-                              offset=offs[b * spb + s])
-                for s in range(spb)
-            ]
-            bands.append(np.concatenate(parts).reshape(h, w))
-        data = np.stack(bands)
-    else:
-        parts = [
-            np.frombuffer(raw, dtype=dtype, count=c // dtype.itemsize, offset=o)
-            for o, c in zip(offs, cnts)
-        ]
-        data = np.concatenate(parts).reshape(h, w, spp).transpose(2, 0, 1)
+        cspp = 1 if planar == 2 else spp
+
+        def strips(base: int) -> np.ndarray:
+            parts = []
+            for s in range(spb):
+                rows = min(rps, h - s * rps)
+                parts.append(
+                    _decode_chunk(
+                        raw, offs[base + s], cnts[base + s], comp, dtype,
+                        predictor, rows, w * cspp,
+                    )
+                )
+            return np.concatenate(parts)
+
+        if planar == 2:
+            data = np.stack([strips(b * spb).reshape(h, w) for b in range(spp)])
+        else:
+            data = strips(0).reshape(h, w, spp).transpose(2, 0, 1)
     data = data.astype(np.float64)
 
     bounds = crs = None
@@ -130,19 +188,47 @@ def read_geotiff(raw: bytes) -> dict:
     return {"data": data, "mask": mask, "bounds": bounds, "crs": crs, "nodata": nodata}
 
 
-def write_geotiff(
-    data,
-    bounds: tuple[float, float, float, float],
-    crs: str = "epsg:4326",
-    nodata: float | None = None,
-) -> bytes:
-    """Encode (bands, H, W) float64 as an uncompressed little-endian
-    GeoTIFF (planar strips, one per band) with pixel-scale/tiepoint
-    georeferencing and an EPSG GeoKey. Returns the file bytes."""
-    arr = np.ascontiguousarray(np.asarray(data, dtype="<f8"))
-    if arr.ndim == 2:
-        arr = arr[None]
+def encode_tile_chunks(arr: np.ndarray, tile: tuple[int, int], compress: bool):
+    """Band-major (PlanarConfiguration=2) tile payloads for (bands, H, W)
+    float64 — each tile padded to full (th, tw) with zeros per TIFF 6.0,
+    deflated with stdlib zlib when `compress`. Pure function of the pixel
+    block: the distributed single-file export compresses tiles inside
+    executor tasks and only streams the finished payloads."""
     nb, h, w = arr.shape
+    tw, th = tile
+    ta, td = (w + tw - 1) // tw, (h + th - 1) // th
+    chunks = []
+    for b in range(nb):
+        for tyi in range(td):
+            for txi in range(ta):
+                blk = np.zeros((th, tw), dtype="<f8")
+                ys, xs = tyi * th, txi * tw
+                sub = arr[b, ys:min(ys + th, h), xs:min(xs + tw, w)]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                payload = blk.tobytes()
+                if compress:
+                    import zlib
+
+                    payload = zlib.compress(payload, 6)
+                chunks.append(payload)
+    return chunks, ta * td
+
+
+def geotiff_tags(
+    nb: int,
+    h: int,
+    w: int,
+    bounds: tuple[float, float, float, float],
+    crs: str,
+    nodata: float | None,
+    compression: str | None,
+    tile: tuple[int, int] | None,
+    chunk_counts: list[int],
+) -> list[tuple]:
+    """The IFD entry list (tag, type, count, values) shared by the
+    in-memory writer and the distributed streaming writer; the chunk
+    OFFSETS entry (273 strips / 324 tiles) carries values=None and is
+    patched by the layout pass."""
     west, south, east, north = bounds
     sx, sy = (east - west) / w, (north - south) / h
     epsg = int(crs.lower().removeprefix("epsg:"))
@@ -150,42 +236,63 @@ def write_geotiff(
     geokeys = [1, 1, 0, 2,
                1024, 0, 1, (2 if geographic else 1),
                (2048 if geographic else 3072), 0, 1, epsg]
-    nodata_s = (f"{nodata!r}".encode("ascii") + b"\x00") if nodata is not None else b""
-
-    strip_len = h * w * 8
-    entries = []  # (tag, type, count, values)
-    entries.append((256, 4, 1, [w]))
-    entries.append((257, 4, 1, [h]))
-    entries.append((258, 3, nb, [64] * nb))
-    entries.append((259, 3, 1, [1]))
-    entries.append((262, 3, 1, [1]))
-    entries.append((273, 4, nb, None))  # strip offsets, patched below
-    entries.append((277, 3, 1, [nb]))
-    entries.append((278, 4, 1, [h]))
-    entries.append((279, 4, nb, [strip_len] * nb))
-    entries.append((284, 3, 1, [2]))
-    entries.append((339, 3, nb, [3] * nb))
-    entries.append((33550, 12, 3, [sx, sy, 0.0]))
-    entries.append((33922, 12, 6, [0.0, 0.0, 0.0, west, north, 0.0]))
-    entries.append((34735, 3, len(geokeys), geokeys))
-    if nodata_s:
-        entries.append((42113, 2, len(nodata_s), nodata_s))
+    comp_tag = {None: 1, "deflate": 8}.get(compression)
+    if comp_tag is None:
+        raise ValueError(f"unsupported compression {compression!r} (None | 'deflate')")
+    n_chunks = len(chunk_counts)
+    entries = [
+        (256, 4, 1, [w]),
+        (257, 4, 1, [h]),
+        (258, 3, nb, [64] * nb),
+        (259, 3, 1, [comp_tag]),
+        (262, 3, 1, [1]),
+        (277, 3, 1, [nb]),
+        (284, 3, 1, [2]),
+        (339, 3, nb, [3] * nb),
+        (33550, 12, 3, [sx, sy, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, west, north, 0.0]),
+        (34735, 3, len(geokeys), geokeys),
+    ]
+    if tile is None:
+        entries += [
+            (273, 4, n_chunks, None),
+            (278, 4, 1, [h]),
+            (279, 4, n_chunks, list(chunk_counts)),
+        ]
+    else:
+        tw, th = tile
+        entries += [
+            (322, 4, 1, [tw]),
+            (323, 4, 1, [th]),
+            (324, 4, n_chunks, None),
+            (325, 4, n_chunks, list(chunk_counts)),
+        ]
+    if nodata is not None:
+        s = f"{nodata!r}".encode("ascii") + b"\x00"
+        entries.append((42113, 2, len(s), s))
     entries.sort(key=lambda e: e[0])
+    return entries
 
+
+def assemble_tiff(entries: list[tuple], chunk_counts: list[int]) -> tuple[bytes, int]:
+    """Header + IFD + out-of-line tails for the given entries, with the
+    chunk-offsets entry (values=None) patched to point just past the
+    tails. Returns (prefix_bytes, data_off): the file is
+    `prefix + b"".join(chunks)` — the streaming writer emits the prefix
+    once, then appends chunk payloads without ever holding them all."""
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
-    # out-of-line value area after the IFD
     tail_off = ifd_off + ifd_size
-    tails = []
+    tails: list[bytes | None] = []
     patched = []
-    strips_at = None
+    offsets_at = None
     for tag, typ, cnt, vals in entries:
         size = _TYPE_SIZE[typ] * cnt
-        if tag == 273:
-            strips_at = len(patched)  # fill once data offset is known
-            patched.append((tag, typ, cnt, None, tail_off if nb > 1 else None))
-            if nb > 1:
-                tails.append(None)  # placeholder, patched later
+        if vals is None:  # the chunk-offsets entry
+            offsets_at = len(patched)
+            patched.append((tag, typ, cnt, None, tail_off if size > 4 else None))
+            if size > 4:
+                tails.append(None)  # placeholder, patched below
                 tail_off += size
             continue
         if size > 4:
@@ -198,13 +305,16 @@ def write_geotiff(
         else:
             patched.append((tag, typ, cnt, vals, None))
     data_off = tail_off
-    strip_offsets = [data_off + b * strip_len for b in range(nb)]
-    # fill the strip-offsets entry/tail
-    tag, typ, cnt, _v, off = patched[strips_at]
-    patched[strips_at] = (tag, typ, cnt, strip_offsets, off)
-    if nb > 1:
+    chunk_offsets = []
+    pos = data_off
+    for c in chunk_counts:
+        chunk_offsets.append(pos)
+        pos += c
+    tag, typ, cnt, _v, off = patched[offsets_at]
+    patched[offsets_at] = (tag, typ, cnt, chunk_offsets, off)
+    if off is not None:
         ti = [i for i, x in enumerate(tails) if x is None][0]
-        tails[ti] = struct.pack("<" + str(nb) + "I", *strip_offsets)
+        tails[ti] = struct.pack("<" + str(cnt) + "I", *chunk_offsets)
 
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_off)
@@ -223,9 +333,44 @@ def write_geotiff(
     for tb in tails:
         out += tb
     assert len(out) == data_off, (len(out), data_off)
-    for b in range(nb):
-        out += arr[b].tobytes()
-    return bytes(out)
+    return bytes(out), data_off
+
+
+def write_geotiff(
+    data,
+    bounds: tuple[float, float, float, float],
+    crs: str = "epsg:4326",
+    nodata: float | None = None,
+    compression: str | None = None,
+    tile: tuple[int, int] | None = None,
+) -> bytes:
+    """Encode (bands, H, W) float64 as a little-endian GeoTIFF with
+    pixel-scale/tiepoint georeferencing and an EPSG GeoKey.
+
+    Default: uncompressed planar strips (one per band) — byte-stable, the
+    engine's roundtrip format. `compression="deflate"` +
+    `tile=(512, 512)` reproduces the reference's COG export profile
+    (/root/reference/geoproc/server/image.py:210-219: deflate,
+    blockxsize/blockysize 512) from the public TIFF 6.0 spec."""
+    arr = np.ascontiguousarray(np.asarray(data, dtype="<f8"))
+    if arr.ndim == 2:
+        arr = arr[None]
+    nb, h, w = arr.shape
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError(f"TIFF tile dims must be multiples of 16, got {tile}")
+        chunks, _ = encode_tile_chunks(arr, tile, compression == "deflate")
+    elif compression == "deflate":
+        import zlib
+
+        chunks = [zlib.compress(arr[b].tobytes(), 6) for b in range(nb)]
+    else:
+        chunks = [arr[b].tobytes() for b in range(nb)]
+    counts = [len(c) for c in chunks]
+    entries = geotiff_tags(nb, h, w, bounds, crs, nodata, compression, tile, counts)
+    prefix, _ = assemble_tiff(entries, counts)
+    return prefix + b"".join(chunks)
 
 
 def scene_zoom(raw: bytes, tile_side: int = 16) -> int:
@@ -264,21 +409,48 @@ def scene_tile_rows(
         raise ValueError("GeoTIFF lacks georeferencing (tags 33550/33922)")
     if g["crs"] not in (None, "epsg:4326"):
         raise ValueError(f"scene CRS {g['crs']} not on the ingest grid (epsg:4326)")
-    west, _s, _e, north = g["bounds"]
+    west, south, east, north = g["bounds"]
     n_grid = 1 << zoom
+
+    def merc_fy(lat: float) -> float:
+        rad = math.radians(min(max(lat, -cells.MAX_LAT), cells.MAX_LAT))
+        return (
+            (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+            / 2.0 * n_grid
+        )
+
     # NW corner -> grid tile, SNAPPED: a grid-aligned corner computed
     # through the transcendental tile-bounds roundtrip can land at
     # 6.999999999999996, and floor alone would misplace the whole scene
     fx = (west + 180.0) / 360.0 * n_grid
-    rad = math.radians(min(max(north, -cells.MAX_LAT), cells.MAX_LAT))
-    fy = (
-        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
-        / 2.0 * n_grid
-    )
+    fy = merc_fy(north)
     snap = lambda v: int(round(v)) if abs(v - round(v)) < 1e-6 else int(math.floor(v))
     x0, y0 = np.array([snap(fx)]), np.array([snap(fy)])
     data, mask = g["data"], g["mask"]
     nb, H, W = data.shape
+    # Pixel-scale guard (ADVICE r04): snapping places only the NW corner —
+    # a scene whose NATIVE resolution differs from the zoom grid's would
+    # silently ingest every pixel misplaced (mixed-resolution archives,
+    # wrong explicit zoom). Require the scene's span, measured in
+    # zoom-grid tile units, to equal its pixel extent / tile_side — same
+    # tolerance family as the CRS/corner guards above.
+    # x is linear in longitude on both sides -> exact; y compares mercator
+    # tile units against a south bound that partial-tile scenes carry as a
+    # LINEAR-lat extrapolation, so its tolerance only needs to separate
+    # curvature (<<0.05 tiles inside one tile row) from a wrong zoom
+    # (error >= a factor of 2).
+    span_fx = (east - west) / 360.0 * n_grid
+    span_fy = merc_fy(south) - fy
+    for name, got, want, tol in (
+        ("x", span_fx, W / tile_side, 1e-6 * max(1.0, W / tile_side)),
+        ("y", span_fy, H / tile_side, max(1e-6 * H / tile_side, 0.05)),
+    ):
+        if abs(got - want) > tol:
+            raise ValueError(
+                f"scene {name}-resolution off the zoom-{zoom} grid: spans "
+                f"{got:.9f} tiles but has {want:.9f} tiles of pixels — "
+                f"resample the scene or pass its native zoom"
+            )
     side = tile_side
     tH = (H + side - 1) // side * side
     tW = (W + side - 1) // side * side
@@ -307,24 +479,21 @@ def ingest_geotiffs(spark, path: str, zoom: int | None = None, tile_side: int = 
     tile DataFrame; wrap with Image.from_df for the operator surface.
 
     zoom=None derives the grid zoom from the FIRST scene's native
-    resolution (scene_zoom — one driver-side header read of one file, no
-    pixel scan of the corpus); pass it explicitly when the archive's grid
-    is known."""
-    if zoom is None:
-        import glob as _glob
-        import os as _os
-
-        cand = sorted(
-            _glob.glob(_os.path.join(path, "**", "*.tif*"), recursive=True)
-            + _glob.glob(path)
-        )
-        cand = [c for c in cand if _os.path.isfile(c)]
-        if not cand:
-            raise ValueError(f"no .tif files under {path} to derive zoom from")
-        with open(cand[0], "rb") as fh:
-            zoom = scene_zoom(fh.read(), tile_side)
+    resolution (scene_zoom — one driver-side read of one scene through the
+    SAME binaryFile source the scan uses, so s3://-style URIs work
+    identically; no pixel scan of the corpus); pass it explicitly when the
+    archive's grid is known. Every scene is still validated against the
+    grid inside its task (scene_tile_rows' CRS + corner + pixel-scale
+    guards), so a mixed-resolution archive fails loudly, not silently."""
     import pandas as pd
     from pyspark.sql import types as T
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    if zoom is None:
+        first = files.limit(1).collect()
+        if not first:
+            raise ValueError(f"no files under {path} to derive zoom from")
+        zoom = scene_zoom(bytes(first[0]["content"]), tile_side)
 
     schema = T.StructType(
         [
@@ -343,5 +512,4 @@ def ingest_geotiffs(spark, path: str, zoom: int | None = None, tile_side: int = 
                 out.extend(scene_tile_rows(bytes(raw), zoom, tile_side))
             yield pd.DataFrame(out, columns=["z", "x", "y", "data", "mask"])
 
-    files = spark.read.format("binaryFile").load(path).select("content")
     return files.mapInPandas(cut, schema)

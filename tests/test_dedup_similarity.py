@@ -173,12 +173,18 @@ def test_embedding_neardup_hot_bucket_governor(spark):
         [(i, [float(x) for x in base * (1.0 + 0.0001 * i)]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    capped_df = sim.embedding_near_dups(df, 0.95, max_bucket_size=100)
+    capped_df, stats = sim.embedding_near_dups(
+        df, 0.95, max_bucket_size=100, with_stats=True
+    )
     assert capped_df.count() == 0  # every bucket oversized -> dropped, bounded work
-    # the recall loss is observable, not silent (ADVICE r03): the attached
-    # Observation reports how many (row, band) entries the cap dropped
-    drops = capped_df._neardup_drop_observation.get
+    # the recall loss is observable, not silent (ADVICE r03/r04): the
+    # explicitly-returned stats object reports how many (row, band)
+    # entries the cap dropped — and survives the caller transforming the
+    # pairs frame (which the legacy attribute does not)
+    drops = stats.get
     assert drops["dropped_band_rows"] == drops["band_rows"] > 0
+    # legacy attribute still present on the exact returned frame
+    assert capped_df._neardup_drop_observation is stats
     uncapped = sim.embedding_near_dups(df, 0.95, max_bucket_size=None).count()
     assert uncapped == n * (n - 1) // 2  # all pairs cos==1
 

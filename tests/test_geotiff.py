@@ -175,3 +175,92 @@ def test_distributed_ingest_matches_numpy_algebra(spark, tmp_path):
                 chip = data[0, ty * side:(ty + 1) * side, tx * side:(tx + 1) * side]
                 want = float((chip * 2 + 1).sum())
                 assert abs(got[(tx0 + tx, ty0 + ty)] - want) < 1e-9
+
+
+def test_roundtrip_deflate_tiled_cog_profile():
+    """The reference's COG export profile (deflate + tiled 512, here 16x16
+    to keep the fixture small — server/image.py:210-219): write with
+    compression+tiling, read back identical pixels/georeferencing, and the
+    file must actually be smaller than the uncompressed twin on
+    compressible data."""
+    data = np.tile(np.arange(48, dtype=np.float64), (2, 40, 1))  # compressible
+    bounds = (-90.0, 0.0, -45.0, 40.97989806962013)
+    raw = gt.write_geotiff(
+        data, bounds, crs="epsg:4326", nodata=-1.0,
+        compression="deflate", tile=(16, 16),
+    )
+    plain = gt.write_geotiff(data, bounds, crs="epsg:4326", nodata=-1.0)
+    assert len(raw) < len(plain) // 2
+    g = gt.read_geotiff(raw)
+    assert np.array_equal(g["data"], data)
+    assert g["crs"] == "epsg:4326" and g["nodata"] == -1.0
+    assert np.allclose(g["bounds"], bounds)
+    # partial edge tiles: 40 rows / 16 -> 3 tile rows, pixels preserved
+    g2 = gt.read_geotiff(
+        gt.write_geotiff(_scene(nb=3, h=40, w=56), bounds, tile=(16, 32))
+    )
+    assert np.array_equal(g2["data"], _scene(nb=3, h=40, w=56))
+
+
+def test_roundtrip_deflate_strips():
+    data = _scene(nb=2, h=17, w=23)
+    raw = gt.write_geotiff(data, (0.0, 0.0, 23.0, 17.0), compression="deflate")
+    g = gt.read_geotiff(raw)
+    assert np.array_equal(g["data"], data)
+
+
+def test_read_tiled_chunky_predictor2_uint16():
+    """A foreign-writer shape: chunky (interleaved) tiled uint16 with
+    horizontal-differencing Predictor 2 + deflate — the common satellite
+    COG layout — built by hand against the public spec."""
+    import struct
+    import zlib
+
+    h, w, spp, tw, th = 20, 18, 2, 16, 16
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 60000, size=(spp, h, w)).astype(np.uint16)
+    chunky = np.ascontiguousarray(data.transpose(1, 2, 0))  # (h, w, spp)
+    ta, td = (w + tw - 1) // tw, (h + th - 1) // th
+    chunks = []
+    for tyi in range(td):
+        for txi in range(ta):
+            blk = np.zeros((th, tw, spp), dtype=np.uint16)
+            sub = chunky[tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw]
+            blk[: sub.shape[0], : sub.shape[1]] = sub
+            rows = blk.reshape(th, tw * spp).astype(np.int64)
+            diff = np.concatenate(
+                [rows[:, :1], (rows[:, 1:] - rows[:, :-1])], axis=1
+            ).astype(np.uint16)  # wraparound differencing
+            chunks.append(zlib.compress(diff.astype("<u2").tobytes()))
+    counts = [len(c) for c in chunks]
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, spp, [16, 16]),
+        (259, 3, 1, [8]), (262, 3, 1, [1]), (277, 3, 1, [spp]),
+        (284, 3, 1, [1]), (317, 3, 1, [2]), (339, 3, spp, [1, 1]),
+        (322, 4, 1, [tw]), (323, 4, 1, [th]),
+        (324, 4, len(chunks), None), (325, 4, len(counts), counts),
+    ]
+    prefix, _ = gt.assemble_tiff(entries, counts)
+    g = gt.read_geotiff(prefix + b"".join(chunks))
+    assert np.array_equal(g["data"], data.astype(np.float64))
+
+
+def test_scene_pixel_scale_guard():
+    """ADVICE r04: a scene whose native resolution does not match the
+    ingest zoom's grid spacing must be refused, not silently misplaced."""
+    zoom, side = 5, 16
+    w_a, s_a, e_a, n_a = cells.tile_bounds_np(
+        np.array([zoom]), np.array([4]), np.array([7])
+    )
+    bounds = (float(w_a[0]), float(s_a[0]), float(e_a[0]), float(n_a[0]))
+    data = _scene(nb=1, h=16, w=16)
+    ok = gt.write_geotiff(data, bounds, crs="epsg:4326")
+    assert len(gt.scene_tile_rows(ok, zoom, side)) == 1  # aligned: fine
+    # same bounds, double the pixels -> native resolution is one zoom
+    # finer than the declared grid: refuse
+    wrong = gt.write_geotiff(_scene(nb=1, h=32, w=32), bounds, crs="epsg:4326")
+    with pytest.raises(ValueError, match="resolution off the zoom"):
+        gt.scene_tile_rows(wrong, zoom, side)
+    # and the matching failure the other way: right pixels, wrong zoom arg
+    with pytest.raises(ValueError, match="resolution off the zoom|outside the zoom"):
+        gt.scene_tile_rows(ok, zoom + 1, side)
