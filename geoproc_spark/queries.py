@@ -30,13 +30,21 @@ ORACLE_SQL: dict[str, str] = {}
 # numpy/stdlib twin (oracle/values_oracle.py) — built lazily so importing
 # this module stays cheap and fixture-free.
 ORACLE_SQL_LAZY: dict[str, Callable[[], str]] = {}
+# Queries registered with driver=False: oracle-checked by pytest
+# (test_queries_vs_oracle) but NOT exposed through __spark_entry__ — the
+# grading driver records at most 50 queries in registration order, and r04
+# proved an over-full registry silently drops the tail (geo_feature_counts,
+# the flagship, went unchecked). Redundant variants that share an oracle
+# with a registered twin live here.
+EXTRA_SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLE_SQL: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, driver: bool = True):
     def deco(fn):
-        SPARK_QUERIES[name] = fn
+        (SPARK_QUERIES if driver else EXTRA_SPARK_QUERIES)[name] = fn
         if oracle is not None:
-            ORACLE_SQL[name] = oracle
+            (ORACLE_SQL if driver else EXTRA_ORACLE_SQL)[name] = oracle
         return fn
 
     return deco
@@ -177,9 +185,11 @@ def geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("geo_pip_join_salted", _PIP_ORACLE)
+@query("geo_pip_join_salted", _PIP_ORACLE, driver=False)
 def geo_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same join with explicit 8-way salting — must be semantics-preserving."""
+    """Same join with explicit 8-way salting — must be semantics-preserving.
+    driver=False: shares _PIP_ORACLE with geo_pip_join; pytest keeps it
+    oracle-checked without spending a driver slot (VERDICT r04 #4)."""
     pts = _pages_with_coords(spark, sf_dir)
     poly = sj.polygons_df(spark)
     return sj.spatial_join(
@@ -196,12 +206,13 @@ def geo_pip_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "feature_id")
 
 
-@query("geo_pip_join_bucketed", _PIP_ORACLE)
+@query("geo_pip_join_bucketed", _PIP_ORACLE, driver=False)
 def geo_pip_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-partitioned variant: points land in a cell-bucketed+sorted
     table once, the join runs with zero Exchange/Sort on the pages side
     (plan-asserted in test_plans_and_skew); same result set as the other
-    three PIP variants against the same oracle."""
+    three PIP variants against the same oracle. driver=False — see
+    geo_pip_join_salted."""
     pts = _pages_with_coords(spark, sf_dir)
     poly = sj.polygons_df(spark)
     return sj.bucketed_spatial_join(
@@ -788,7 +799,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    pairs = near.unionByName(exact).distinct()
+    # localCheckpoint EACH branch before the union: a Union node defeats
+    # cache substitution for its whole subtree in this Spark build (see
+    # dd.connected_components), so a lazy near∪exact would re-run both
+    # pipelines from the parquet scans — ignoring the persisted base/bands
+    # — every time the edge cache materializes (measured ~2x the whole
+    # query). Checkpointing materializes each branch ONCE through the
+    # caches; the union then reads two RDD leaves.
+    pairs = (
+        near.localCheckpoint().unionByName(exact.localCheckpoint()).distinct()
+    )
     return dd.connected_components(base.select("doc_id"), pairs)
 
 
@@ -1836,3 +1856,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-feature aggregate."""
     joined = geo_pip_join(spark, sf_dir)
     return joined.groupBy("feature_id").agg(F.count("*").alias("n_pages"))
+
+
+# The driver records queries in registration order with a 50-entry budget
+# (r04: 51 registered -> the 51st, this flagship, had no correctness row).
+# Put the flagship FIRST so it can never fall off the tail again, keep
+# everything else in definition order.
+SPARK_QUERIES = {
+    "geo_feature_counts": SPARK_QUERIES["geo_feature_counts"],
+    **{k: v for k, v in SPARK_QUERIES.items() if k != "geo_feature_counts"},
+}
+ORACLE_SQL = {
+    "geo_feature_counts": ORACLE_SQL["geo_feature_counts"],
+    **{k: v for k, v in ORACLE_SQL.items() if k != "geo_feature_counts"},
+}
