@@ -1268,6 +1268,44 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_stream_append",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events, wm
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= w
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+""",
+)
+def events_hourly_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming shape (VERDICT r04 #2): watermarked
+    APPEND-mode hourly aggregate to a file sink — bounded state (windows
+    evict once the watermark passes), nothing through the driver. On the
+    bounded replay the emitted set is exactly the CLOSED windows: end <=
+    max(ts) - 2h, which is what the oracle pins (the youngest windows stay
+    in the state store, as they would on a live feed — the run's state
+    metrics report them). Fresh checkpoint + sink dir per call; the result
+    is localCheckpointed so both are deleted before returning."""
+    import shutil
+    import tempfile
+
+    from .streaming import windowed
+
+    ckpt = tempfile.mkdtemp(prefix="geoproc_stream_ackpt_")
+    out = tempfile.mkdtemp(prefix="geoproc_stream_aout_")
+    try:
+        res, _metrics = windowed.run_hourly_stream_append(
+            spark, f"{sf_dir}/events.parquet", ckpt, out
+        )
+        return res
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
     "events_funnel",
     """
 WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

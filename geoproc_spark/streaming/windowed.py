@@ -63,3 +63,85 @@ def run_hourly_stream(
     )
     q.awaitTermination()
     return spark.table(out_table)
+
+
+def run_hourly_stream_append(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+):
+    """The PRODUCTION streaming shape (VERDICT r04 #2): watermarked
+    APPEND-mode hourly aggregate into a file sink.
+
+    Complete mode + memory sink (run_hourly_stream) is correct for a
+    bounded replay but holds every window in the state store forever and
+    collects results to the driver — both scale-killers on an unbounded
+    feed. This variant bounds state with `withWatermark(ts, delay)`:
+    a window is emitted EXACTLY ONCE when the watermark (max event time
+    seen in completed micro-batches, minus the delay) passes its end, and
+    its state is evicted. The file sink appends closed windows
+    distributed, nothing transits the driver. availableNow still runs a
+    trailing no-data micro-batch, so on a bounded input every window whose
+    end <= max(ts) - delay is closed and emitted; younger windows stay in
+    state (exactly what a live feed would do).
+
+    Returns (result DataFrame, state_metrics dict from the final progress:
+    numRowsTotal / numRowsRemoved etc. — the observability a capacity plan
+    needs)."""
+    import os
+
+    schema = spark.read.parquet(events_dir).schema
+    if os.path.isfile(events_dir):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_dir))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.dirname(events_dir))
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+    # watermarks need tz-aware TIMESTAMP; parquet carries NTZ. Session TZ
+    # is UTC, so the cast (and the cast back on `hour` below) is wall-clock
+    # exact and the batch oracle's buckets are unchanged.
+    ev = stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    q = (
+        hourly_agg(ev)
+        .select(
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # numRowsTotal is a point-in-time gauge (last batch wins); the
+    # removal/update counts are per-batch and must SUM across the run —
+    # eviction happens in every micro-batch whose watermark closed windows
+    state_metrics = {"numRowsRemoved": 0, "numRowsUpdated": 0}
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_metrics["numRowsTotal"] = ops[0].get("numRowsTotal", 0)
+            state_metrics["numRowsRemoved"] += ops[0].get("numRowsRemoved", 0)
+            state_metrics["numRowsUpdated"] += ops[0].get("numRowsUpdated", 0)
+    out_schema = (
+        "hour timestamp_ntz, event_type string, n_events bigint, sum_cents bigint"
+    )
+    # eager localCheckpoint: materialize off the sink files so the caller
+    # may delete out_dir/checkpoint_dir before consuming the result
+    result = spark.read.schema(out_schema).parquet(out_dir).localCheckpoint()
+    return result, state_metrics

@@ -89,6 +89,59 @@ def test_stream_equals_batch(spark, tmp_path):
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
 
+def test_stream_append_watermark_closes_windows(spark, tmp_path):
+    """VERDICT r04 #2 — the production shape: watermarked APPEND-mode agg
+    into a file sink over SEVERAL micro-batches (time-ordered files +
+    maxFilesPerTrigger=1, so the watermark genuinely advances batch by
+    batch). On the drained bounded input the emitted rows must equal the
+    batch aggregate restricted to CLOSED windows (end <= max ts - delay),
+    the open tail must be withheld, and the state metrics must show the
+    eviction (bounded state — the thing complete mode cannot do)."""
+    from pyspark.sql import functions as F
+
+    from geoproc_spark.streaming import windowed
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events_dir = str(tmp_path / "events_in")
+    # 4 time-ordered ARRIVALS: the file source replays files in
+    # modification-time order, so each slice is written as its own commit
+    # with a distinct mtime (a slice arriving after the watermark passed it
+    # would be dropped as late — correct streaming semantics, wrong test
+    # fixture). Each micro-batch then advances the watermark past the
+    # previous slice's windows.
+    import time
+
+    lo, q1, q2, q3, hi = ev.select(
+        F.col("ts").cast("timestamp").cast("double").alias("tsd")
+    ).approxQuantile("tsd", [0.0, 0.25, 0.5, 0.75, 1.0], 0.0)
+    edges = [lo - 1, q1, q2, q3, hi + 1]
+    for i in range(4):
+        ev.filter(
+            (F.col("ts").cast("timestamp").cast("double") > edges[i])
+            & (F.col("ts").cast("timestamp").cast("double") <= edges[i + 1])
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+        time.sleep(1.1)
+
+    got, metrics = windowed.run_hourly_stream_append(
+        spark, events_dir, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    closed = windowed.hourly_agg(ev).filter(
+        F.col("hour") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, closed.collect()))
+    assert g == w and len(g) > 0
+    # the open tail exists and was withheld
+    n_all = windowed.hourly_agg(ev).count()
+    assert len(g) < n_all
+    # state is bounded: evicted rows reported, retained rows = open tail
+    assert metrics.get("numRowsRemoved", 0) == len(g)
+    assert 0 < metrics.get("numRowsTotal", 0) == n_all - len(g)
+
+
 def test_stateful_user_profile_equals_batch(spark, tmp_path):
     """applyInPandasWithState custom operator: after the stream drains, the
     LATEST state version per user equals the batch aggregate exactly —
