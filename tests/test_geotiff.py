@@ -130,9 +130,61 @@ def test_export_geotiff_roundtrip(spark, tmp_path):
     assert np.array_equal(g["data"][:, vmask], want[:, vmask])
     assert np.isnan(g["data"][:, ~vmask]).all()
 
-    with pytest.raises(ValueError, match="max_pixels"):
-        img.export_geotiff(
-            str(out), scale=100.0, crs="epsg:32630", bounds=bounds, max_pixels=1000
+    # past max_pixels the export no longer refuses: it dispatches to the
+    # distributed COG path (tested in depth below)
+    spec2 = img.export_geotiff(
+        str(tmp_path / "big.tif"), scale=10000.0, crs="epsg:32630",
+        bounds=bounds, window_size=32, max_pixels=16,
+    )
+    g2 = gt.read_geotiff((tmp_path / "big.tif").read_bytes())
+    assert g2["data"].shape == (2, spec2["height"], spec2["width"])
+
+
+def test_export_geotiff_cog_distributed_matches_driver_path(spark, tmp_path):
+    """VERDICT r04 #5: the scale-path single-file export — executor-side
+    tile encode + streaming concat — must be BYTE-IDENTICAL to the
+    driver-assembled writer at the same profile (deflate, tiled
+    window_size), and read back to the same pixels/mask as the
+    uncompressed-strip export."""
+    import math
+
+    from geoproc_spark import synth
+
+    img = Image.from_df(
+        synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX
+    )
+    bounds = (-6.0, 40.0, -0.5, 50.0)
+    cog = tmp_path / "cog.tif"
+    spec = img.export_geotiff_cog(
+        str(cog), scale=10000.0, crs="epsg:32630", bounds=bounds, window_size=32,
+        tiles_per_stream_partition=3,  # force multiple stream partitions
+    )
+    raw = cog.read_bytes()
+    g = gt.read_geotiff(raw)
+    assert g["crs"] == "epsg:32630"
+    assert g["data"].shape == (2, spec["height"], spec["width"])
+
+    # driver-assembled twin at the SAME profile -> byte-identical file
+    strip = tmp_path / "strip.tif"
+    img.export_geotiff(
+        str(strip), scale=10000.0, crs="epsg:32630", bounds=bounds, window_size=32
+    )
+    gs = gt.read_geotiff(strip.read_bytes())
+    want = gt.write_geotiff(
+        gs["data"], spec["out_bounds"], crs=spec["crs"], nodata=math.nan,
+        compression="deflate", tile=(32, 32),
+    )
+    assert raw == want
+
+    # and pixel/mask parity with the strip export
+    vm = gs["mask"] == 255
+    assert (g["mask"] == gs["mask"]).all()
+    assert (g["data"][:, vm] == gs["data"][:, vm]).all()
+    assert np.isnan(g["data"][:, ~vm]).all()
+
+    with pytest.raises(ValueError, match="multiple of 16"):
+        img.export_geotiff_cog(
+            str(cog), scale=10000.0, crs="epsg:32630", bounds=bounds, window_size=30
         )
 
 
