@@ -128,6 +128,7 @@ def main() -> None:
             stage: [r["stage_walls"][stage] for r in runs]
             for stage in runs[0].get("stage_walls", {})
         }
+        results[c]["pinned_mhz_all"] = [r.get("pinned_mhz") for r in runs]
     import shutil
 
     shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
@@ -136,6 +137,11 @@ def main() -> None:
     eff_secondary = (t8 / t32) / 4
     stage_eff = {}
     for stage in results[2].get("stage_walls", {}):
+        if stage == "ext_recount":
+            # cache-health probe (0.1-0.3 s), not a pipeline stage — its
+            # "efficiency" is pure scheduling latency and only alarms
+            # readers (VERDICT r04); it stays in the per-run forensic lines
+            continue
         w2 = results[2]["stage_walls"][stage]
         w8 = results[8]["stage_walls"][stage]
         w32 = results[32]["stage_walls"][stage]
@@ -164,9 +170,13 @@ def main() -> None:
 
 
 def write_baseline_md(results: dict, summary: dict) -> None:
+    def _mhz(c):
+        vals = [v for v in results[c].get("pinned_mhz_all", []) if v]
+        return round(sum(vals) / len(vals)) if vals else "-"
+
     rows = "\n".join(
         f"| local[{c}] | {results[c]['wall_sec']} | {results[c]['pages_per_sec']:,} "
-        f"| {results[c]['tiles_per_sec']:,} | {results[c].get('all_walls')} |"
+        f"| {results[c]['tiles_per_sec']:,} | {_mhz(c)} | {results[c].get('all_walls')} |"
         for c in LEVELS
     )
     stage_rows = "\n".join(
@@ -185,9 +195,14 @@ as concurrent jobs) over {summary["pages"]:,} pages, each parallelism level
 a fresh cold JVM, pinned to exactly its core budget with `taskset` (an
 executor owning N cores), min over repeats.
 
-| config | wall (s) | pages/s | tiles/s | all walls (s) |
-|---|---|---|---|---|
+| config | wall (s) | pages/s | tiles/s | mean pinned MHz | all walls (s) |
+|---|---|---|---|---|---|
 {rows}
+
+The pinned-MHz column is the mean core clock of the run's own pinned CPU
+set sampled mid-run (scaling_job logs it per run): narrow configs ride
+boost clocks that a 32-wide run cannot hold, so part of any 8->32
+"efficiency loss" is frequency asymmetry, visible here next to the walls.
 
 **Scaling efficiency (T2/T8)/4 = {summary["value"]}** (N -> 4N cores; requirement >= 0.8 -> {"PASS" if summary["pass"] else "FAIL"})
 Secondary pair (T8/T32)/4 = {summary["eff_8_to_32"]}.
@@ -196,7 +211,9 @@ Secondary pair (T8/T32)/4 = {summary["eff_8_to_32"]}.
 
 Sequential per-stage walls inside each timed JVM (join/tiles run from a
 persisted extract so each stage's wall is its own work), min PER STAGE
-across the level's repeats:
+across the level's repeats. The `ext_recount` cache-health probe is
+excluded (a 0.1-0.3 s scheduling-latency read, not a stage; it remains in
+the per-run `{{"run": ...}}` forensic lines):
 
 | stage | local[2] (s) | local[8] (s) | local[32] (s) | eff 2->8 | eff 8->32 |
 |---|---|---|---|---|---|
