@@ -157,6 +157,7 @@ def main() -> None:
         "tpch_q6",
         "events_hourly",
         "events_hourly_stream",
+        "events_hourly_stream_append",
         "events_funnel",
         "events_sessions",
         "events_top3_per_user",

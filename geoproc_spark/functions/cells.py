@@ -162,14 +162,16 @@ def to_lonlat_np(x: np.ndarray, y: np.ndarray, crs: str):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if c == "epsg:3857":
         return mercator_to_lonlat_np(x, y)
-    from . import tmerc
+    from . import conic, tmerc
 
     p = tmerc.utm_params(c)
     if p is not None:
         return tmerc.tmerc_to_lonlat_np(x, y, *p)
+    if conic.conic_params(c) is not None:
+        return conic.to_lonlat_np(x, y, c)
     raise ValueError(
         f"unsupported CRS {crs!r} (engine registry: epsg:4326, epsg:3857, "
-        f"epsg:326xx/327xx UTM)"
+        f"epsg:326xx/327xx UTM, epsg:2154/3034 LCC, epsg:3035 LAEA)"
     )
 
 
@@ -180,14 +182,16 @@ def from_lonlat_np(lon: np.ndarray, lat: np.ndarray, crs: str):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if c == "epsg:3857":
         return lonlat_to_mercator_np(lon, lat)
-    from . import tmerc
+    from . import conic, tmerc
 
     p = tmerc.utm_params(c)
     if p is not None:
         return tmerc.lonlat_to_tmerc_np(lon, lat, *p)
+    if conic.conic_params(c) is not None:
+        return conic.from_lonlat_np(lon, lat, c)
     raise ValueError(
         f"unsupported CRS {crs!r} (engine registry: epsg:4326, epsg:3857, "
-        f"epsg:326xx/327xx UTM)"
+        f"epsg:326xx/327xx UTM, epsg:2154/3034 LCC, epsg:3035 LAEA)"
     )
 
 

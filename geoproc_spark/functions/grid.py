@@ -41,13 +41,15 @@ def is_projected(crs: str) -> bool:
         return True
     if c == "epsg:4326":
         return False
-    from . import tmerc
+    from . import conic, tmerc
 
     if tmerc.utm_params(c) is not None:
         return True
+    if conic.conic_params(c) is not None:
+        return True
     raise ValueError(
         f"unsupported CRS {crs!r} (engine registry: epsg:4326, epsg:3857, "
-        f"epsg:326xx/327xx UTM)"
+        f"epsg:326xx/327xx UTM, epsg:2154/3034 LCC, epsg:3035 LAEA)"
     )
 
 

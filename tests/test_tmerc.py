@@ -155,3 +155,106 @@ def test_export_grid_matches_reference_shape_logic():
     pb = cells.transform_bounds(b, src="epsg:4326", dst=UTM30N)
     assert spec["width"] == round((pb[2] - pb[0]) / 500.0)
     assert spec["height"] == round((pb[3] - pb[1]) / 500.0)
+
+
+# ---------------------------------------------------------- LCC/LAEA (conic)
+def test_conic_centers_map_to_false_origin():
+    """Snyder parameter-block invariant: (lon0, lat0) -> exactly (FE, FN)."""
+    from geoproc_spark.functions import conic
+
+    for crs, lon0, lat0, fe, fn in [
+        ("epsg:2154", 3.0, 46.5, 700_000.0, 6_600_000.0),
+        ("epsg:3034", 10.0, 52.0, 4_000_000.0, 2_800_000.0),
+        ("epsg:3035", 10.0, 52.0, 4_321_000.0, 3_210_000.0),
+    ]:
+        x, y = conic.from_lonlat_np(np.array([lon0]), np.array([lat0]), crs)
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0] - fn) < 1e-6, (crs, x, y)
+
+
+def test_conic_roundtrip_submillimeter():
+    rng = np.random.default_rng(5)
+    from geoproc_spark.functions import conic
+
+    for crs, lon_rng, lat_rng in [
+        ("epsg:2154", (-5.0, 10.0), (41.0, 51.5)),
+        ("epsg:3034", (-10.0, 35.0), (30.0, 70.0)),
+        ("epsg:3035", (-10.0, 35.0), (30.0, 70.0)),
+    ]:
+        lon = rng.uniform(*lon_rng, 500)
+        lat = rng.uniform(*lat_rng, 500)
+        x, y = conic.from_lonlat_np(lon, lat, crs)
+        lon2, lat2 = conic.to_lonlat_np(x, y, crs)
+        x2, y2 = conic.from_lonlat_np(lon2, lat2, crs)
+        assert np.abs(np.hypot(x2 - x, y2 - y)).max() < 1e-3, crs
+
+
+def _num_jacobian(crs, lon, lat, h=100.0):
+    """d(E,N)/d(east-meters, north-meters) via ellipsoidal arc lengths —
+    the local scale matrix of the projection. h=100 m: big enough to beat
+    float64 cancellation against ~1e6-m coordinates (ulp ~2e-10 m), small
+    enough that the curvature term is ~1e-5 relative."""
+    from geoproc_spark.functions import conic
+
+    a, f = conic.GRS80_A, conic.GRS80_F
+    e2 = f * (2 - f)
+    phi = np.radians(lat)
+    # meridional + prime-vertical radii (Snyder 4-18/4-20)
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    dlat = np.degrees(h / M)          # h meters north in degrees
+    dlon = np.degrees(h / (N * np.cos(phi)))  # h meters east in degrees
+    x0, y0 = conic.from_lonlat_np(lon, lat, crs)
+    xe, ye = conic.from_lonlat_np(lon + dlon, lat, crs)
+    xn, yn = conic.from_lonlat_np(lon, lat + dlat, crs)
+    return (
+        (xe - x0) / h, (xn - x0) / h,
+        (ye - y0) / h, (yn - y0) / h,
+    )
+
+
+def test_lcc_is_conformal_with_unit_scale_on_standard_parallels():
+    """Conformality: the numerical Jacobian wrt local ENU meters is a
+    scaled rotation (J11==J22, J12==-J21) everywhere; the scale is 1.0 on
+    both standard parallels (the defining 2SP property) and >= the minimum
+    between them."""
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-5.0, 10.0, 300)
+    lat = rng.uniform(41.0, 51.0, 300)
+    j11, j12, j21, j22 = _num_jacobian("epsg:2154", lon, lat)
+    assert np.abs(j11 - j22).max() < 1e-4
+    assert np.abs(j12 + j21).max() < 1e-4
+    k = np.hypot(j11, j21)
+    for sp in (44.0, 49.0):
+        lonp = rng.uniform(-5.0, 10.0, 50)
+        a11, _a12, a21, _a22 = _num_jacobian("epsg:2154", lonp, np.full(50, sp))
+        ksp = np.hypot(a11, a21)
+        assert np.abs(ksp - 1.0).max() < 1e-5, (sp, ksp.min(), ksp.max())
+    assert k.min() > 0.99  # between the parallels k dips slightly below 1
+
+
+def test_laea_is_equal_area_everywhere():
+    """The defining LAEA property: |det J| wrt local ellipsoidal meters is
+    exactly 1 — areas are preserved across the whole domain."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-10.0, 35.0, 400)
+    lat = rng.uniform(30.0, 70.0, 400)
+    j11, j12, j21, j22 = _num_jacobian("epsg:3035", lon, lat)
+    det = j11 * j22 - j12 * j21
+    assert np.abs(det - 1.0).max() < 1e-4, (det.min(), det.max())
+
+
+def test_conic_registry_routing_and_export_grid():
+    """cells/grid dispatch reaches the conic kernels and export_grid_spec
+    produces a sane projected grid for a French Lambert-93 export."""
+    from geoproc_spark.functions import grid
+
+    assert grid.is_projected("epsg:2154") and grid.is_projected("epsg:3035")
+    assert grid.tile_range_pad("epsg:2154") == 1
+    lon, lat = cells.to_lonlat_np(
+        np.array([700_000.0]), np.array([6_600_000.0]), "epsg:2154"
+    )
+    assert abs(lon[0] - 3.0) < 1e-9 and abs(lat[0] - 46.5) < 1e-9
+    spec = grid.export_grid_spec((-5.0, 42.0, 8.0, 51.0), 10_000.0, crs="epsg:2154")
+    assert spec["crs"] == "epsg:2154"
+    # ~13 deg lon at ~46N is ~1000 km; 9 deg lat ~ 1000 km -> ~100x100 px
+    assert 80 <= spec["width"] <= 130 and 90 <= spec["height"] <= 120
