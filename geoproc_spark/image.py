@@ -889,10 +889,10 @@ class Image:
             )
             prefix, data_off = _gt.assemble_tiff(entries, counts)
             if data_off + sum(counts) > (1 << 32) - 1:
-                raise ValueError(
-                    "output exceeds the classic-TIFF 4 GiB offset limit; "
-                    "export multiple COGs via export_projected windows"
-                )
+                # past the classic-TIFF 4 GiB offset limit: re-assemble the
+                # header as BigTIFF (64-bit offsets) — same chunks, same
+                # streaming write, only the prefix changes
+                prefix, data_off = _gt.assemble_tiff(entries, counts, bigtiff=True)
             n_parts = max(1, (n_tiles + tiles_per_stream_partition - 1)
                           // tiles_per_stream_partition)
             ordered = chunks.repartitionByRange(

@@ -27,8 +27,14 @@ import struct
 
 import numpy as np
 
-_TYPE_FMT = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8}
+_TYPE_FMT = {
+    1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",  # BigTIFF LONG8 / SLONG8 / IFD8
+}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8,
+    16: 8, 17: 8, 18: 8,
+}
 
 # (SampleFormat, BitsPerSample) -> numpy dtype char
 _DTYPES = {
@@ -38,18 +44,31 @@ _DTYPES = {
 }
 
 
-def _read_ifd_entries(buf: bytes, bo: str, off: int) -> dict[int, tuple]:
-    (n,) = struct.unpack_from(bo + "H", buf, off)
+def _read_ifd_entries(
+    buf: bytes, bo: str, off: int, bigtiff: bool = False
+) -> dict[int, tuple]:
+    """One IFD -> {tag: values}. Classic layout (2-byte count, 12-byte
+    entries, 4-byte inline values) or BigTIFF (8-byte count, 20-byte
+    entries, 8-byte inline values — the public BigTIFF spec)."""
+    if bigtiff:
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        base, esz, inline, ofmt = off + 8, 20, 8, "Q"
+    else:
+        (n,) = struct.unpack_from(bo + "H", buf, off)
+        base, esz, inline, ofmt = off + 2, 12, 4, "I"
     out = {}
-    for i in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
+    for i in range(int(n)):
+        if bigtiff:
+            tag, typ, cnt = struct.unpack_from(bo + "HHQ", buf, base + esz * i)
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, base + esz * i)
         if typ not in _TYPE_FMT:
             continue
         size = _TYPE_SIZE[typ] * cnt
-        vo = off + 2 + 12 * i + 8
-        if size > 4:
-            (vo,) = struct.unpack_from(bo + "I", buf, vo)
-        vals = struct.unpack_from(bo + str(cnt) + _TYPE_FMT[typ], buf, vo)
+        vo = base + esz * i + (12 if bigtiff else 8)
+        if size > inline:
+            (vo,) = struct.unpack_from(bo + ofmt, buf, vo)
+        vals = struct.unpack_from(bo + str(int(cnt)) + _TYPE_FMT[typ], buf, vo)
         out[tag] = vals
     return out
 
@@ -88,10 +107,17 @@ def read_geotiff(raw: bytes) -> dict:
         bo = ">"
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
-    magic, ifd_off = struct.unpack_from(bo + "HI", raw, 2)
-    if magic != 42:
-        raise ValueError("not a classic TIFF (magic != 42)")
-    t = _read_ifd_entries(raw, bo, ifd_off)
+    (magic,) = struct.unpack_from(bo + "H", raw, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", raw, 4)
+        t = _read_ifd_entries(raw, bo, ifd_off)
+    elif magic == 43:  # BigTIFF
+        osize, zero, ifd_off = struct.unpack_from(bo + "HHQ", raw, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header ({osize}, {zero})")
+        t = _read_ifd_entries(raw, bo, ifd_off, bigtiff=True)
+    else:
+        raise ValueError(f"not a TIFF (magic {magic}, expected 42 or 43)")
 
     w, h = t[256][0], t[257][0]
     spp = t.get(277, (1,))[0]
@@ -274,28 +300,44 @@ def geotiff_tags(
     return entries
 
 
-def assemble_tiff(entries: list[tuple], chunk_counts: list[int]) -> tuple[bytes, int]:
+def assemble_tiff(
+    entries: list[tuple], chunk_counts: list[int], bigtiff: bool = False
+) -> tuple[bytes, int]:
     """Header + IFD + out-of-line tails for the given entries, with the
     chunk-offsets entry (values=None) patched to point just past the
     tails. Returns (prefix_bytes, data_off): the file is
     `prefix + b"".join(chunks)` — the streaming writer emits the prefix
-    once, then appends chunk payloads without ever holding them all."""
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    once, then appends chunk payloads without ever holding them all.
+
+    bigtiff=True emits the public BigTIFF layout (magic 43, 8-byte
+    offsets, 20-byte IFD entries) with the chunk-offsets entry promoted to
+    LONG8 — the >4 GiB single-file path."""
+    if bigtiff:
+        hdr_size, esz, inline = 16, 20, 8
+        cnt_fmt, off_fmt = "Q", "Q"
+    else:
+        hdr_size, esz, inline = 8, 12, 4
+        cnt_fmt, off_fmt = "H", "I"
+    ifd_off = hdr_size
+    ifd_size = struct.calcsize("<" + cnt_fmt) + esz * len(entries) + struct.calcsize(
+        "<" + off_fmt
+    )
     tail_off = ifd_off + ifd_size
     tails: list[bytes | None] = []
     patched = []
     offsets_at = None
     for tag, typ, cnt, vals in entries:
+        if vals is None and bigtiff:
+            typ = 16  # chunk offsets as LONG8 — they may exceed u32
         size = _TYPE_SIZE[typ] * cnt
         if vals is None:  # the chunk-offsets entry
             offsets_at = len(patched)
-            patched.append((tag, typ, cnt, None, tail_off if size > 4 else None))
-            if size > 4:
+            patched.append((tag, typ, cnt, None, tail_off if size > inline else None))
+            if size > inline:
                 tails.append(None)  # placeholder, patched below
                 tail_off += size
             continue
-        if size > 4:
+        if size > inline:
             patched.append((tag, typ, cnt, vals, tail_off))
             if typ == 2:
                 tails.append(bytes(vals))
@@ -314,22 +356,29 @@ def assemble_tiff(entries: list[tuple], chunk_counts: list[int]) -> tuple[bytes,
     patched[offsets_at] = (tag, typ, cnt, chunk_offsets, off)
     if off is not None:
         ti = [i for i, x in enumerate(tails) if x is None][0]
-        tails[ti] = struct.pack("<" + str(cnt) + "I", *chunk_offsets)
+        tails[ti] = struct.pack("<" + str(cnt) + _TYPE_FMT[typ], *chunk_offsets)
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", len(patched))
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+        out += struct.pack("<Q", len(patched))
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_off)
+        out += struct.pack("<H", len(patched))
     for tag, typ, cnt, vals, off in patched:
-        out += struct.pack("<HHI", tag, typ, cnt)
+        if bigtiff:
+            out += struct.pack("<HHQ", tag, typ, cnt)
+        else:
+            out += struct.pack("<HHI", tag, typ, cnt)
         if off is not None:
-            out += struct.pack("<I", off)
+            out += struct.pack("<" + off_fmt, off)
         else:
             if typ == 2:
                 raw_v = bytes(vals)
             else:
                 raw_v = struct.pack("<" + str(cnt) + _TYPE_FMT[typ], *vals)
-            out += raw_v.ljust(4, b"\x00")[:4]
-    out += struct.pack("<I", 0)  # next IFD
+            out += raw_v.ljust(inline, b"\x00")[:inline]
+    out += struct.pack("<" + off_fmt, 0)  # next IFD
     for tb in tails:
         out += tb
     assert len(out) == data_off, (len(out), data_off)
@@ -343,6 +392,7 @@ def write_geotiff(
     nodata: float | None = None,
     compression: str | None = None,
     tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode (bands, H, W) float64 as a little-endian GeoTIFF with
     pixel-scale/tiepoint georeferencing and an EPSG GeoKey.
@@ -351,7 +401,9 @@ def write_geotiff(
     engine's roundtrip format. `compression="deflate"` +
     `tile=(512, 512)` reproduces the reference's COG export profile
     (/root/reference/geoproc/server/image.py:210-219: deflate,
-    blockxsize/blockysize 512) from the public TIFF 6.0 spec."""
+    blockxsize/blockysize 512) from the public TIFF 6.0 spec.
+    `bigtiff=True` emits the BigTIFF (magic 43, 64-bit offsets) layout for
+    files past the classic 4 GiB limit."""
     arr = np.ascontiguousarray(np.asarray(data, dtype="<f8"))
     if arr.ndim == 2:
         arr = arr[None]
@@ -369,7 +421,7 @@ def write_geotiff(
         chunks = [arr[b].tobytes() for b in range(nb)]
     counts = [len(c) for c in chunks]
     entries = geotiff_tags(nb, h, w, bounds, crs, nodata, compression, tile, counts)
-    prefix, _ = assemble_tiff(entries, counts)
+    prefix, _ = assemble_tiff(entries, counts, bigtiff=bigtiff)
     return prefix + b"".join(chunks)
 
 
