@@ -143,8 +143,11 @@ def test_transform_bounds_and_union():
     assert u[0] == 0.0 and u[1] == 0.0
     assert u[2] > a[2] and u[3] > a[3]  # grew to cover the 20-degree corner
 
-    # UTM joined the registry in r4 (tmerc.py); Lambert-93 did not
+    # UTM joined the registry in r4 (tmerc.py); Lambert-93 in r5 (conic.py)
     utm = cells.transform_bounds(b4326, "epsg:4326", "epsg:32630")
     assert utm[2] > utm[0] and utm[3] > utm[1]
+    l93 = cells.transform_bounds(b4326, "epsg:4326", "epsg:2154")
+    assert l93[2] > l93[0] and l93[3] > l93[1]
+    # a code outside the registry still refuses loudly (OSGB grid)
     with np.testing.assert_raises(ValueError):
-        cells.transform_bounds(b4326, "epsg:4326", "epsg:2154")
+        cells.transform_bounds(b4326, "epsg:4326", "epsg:27700")
