@@ -1701,20 +1701,28 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant corpus plants each variant class, including a reordered-params
     pair that must group together but apart from the bare url."""
     pages = synth.pages_df(spark, sf_dir).select("page_id", "url")
-    v = pages
-    for off, expr in [
-        (10000000, "concat(url, '?utm_source=feed&gclid=abc&utm_campaign=x')"),
-        (20000000, "concat('http://www.', regexp_replace(url, '^https://', ''), '/')"),
-        (30000000, "concat(url, '#frag')"),
-        (40000000, "concat(url, '?b=2&a=1&utm_medium=m')"),
-        (50000000, "concat(url, '?a=1&b=2')"),
-    ]:
-        mod = {10000000: 7, 20000000: 11, 30000000: 13, 40000000: 17, 50000000: 17}[off]
-        v = v.unionByName(
-            pages.filter(F.col("page_id") % mod == 0).selectExpr(
-                f"page_id + {off} AS page_id", f"{expr} AS url"
-            )
-        )
+    # ONE corpus scan: each row emits itself plus its planted variants via
+    # an inline array + filter + explode — the 6-branch union this
+    # replaces re-scanned the corpus once per variant class (and a Union
+    # over a cached upstream would also lose cache substitution in this
+    # Spark build; see dd.connected_components). Same row set, same oracle.
+    variants = [
+        (10000000, 7, "concat(url, '?utm_source=feed&gclid=abc&utm_campaign=x')"),
+        (20000000, 11, "concat('http://www.', regexp_replace(url, '^https://', ''), '/')"),
+        (30000000, 13, "concat(url, '#frag')"),
+        (40000000, 17, "concat(url, '?b=2&a=1&utm_medium=m')"),
+        (50000000, 17, "concat(url, '?a=1&b=2')"),
+    ]
+    branches = ", ".join(
+        f"IF(page_id % {mod} = 0, "
+        f"named_struct('pid', page_id + {off}L, 'u', {expr}), NULL)"
+        for off, mod, expr in variants
+    )
+    v = pages.selectExpr(
+        f"""explode(filter(
+              array(named_struct('pid', page_id, 'u', url), {branches}),
+              x -> x IS NOT NULL)) AS e"""
+    ).selectExpr("e.pid AS page_id", "e.u AS url")
     return (
         v.select("page_id", TX.canonical_url_expr("url").alias("canon"))
         .groupBy("canon")
