@@ -35,6 +35,12 @@ def token_hash_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def token_hash_sql_spark(expr: str) -> str:
+    """Spark-SQL-string form of token_hash (for higher-order lambdas where
+    a Column can't reach)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def h32(tok: Column) -> Column:
     return token_hash(tok) % F.lit(H32_P)
 
@@ -206,3 +212,39 @@ def lang_pred(n_stop: Column, n_tokens: Column) -> Column:
     profile table — the operator shape, a per-doc scoring expression, is
     what matters at scale.)"""
     return F.when(n_stop * 20 >= n_tokens, F.lit("en")).otherwise(F.lit("und"))
+
+
+# PII patterns, deliberately backslash-free so ONE string is legal and
+# identical in Java regex (Spark, which also eats backslashes inside SQL
+# string literals) and RE2 (DuckDB): character classes instead of \+ \. \b.
+# Ordered dict: redaction applies in this exact order on both engines
+# (order matters — an email must not first lose its dots to the IP rule).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    "phone": ("[+]1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ip": ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII class — JVM regexp_extract_all, no
+    Python in the loop."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder, all classes, in
+    PII_PATTERNS order (email -> phone -> ip)."""
+    out = text
+    for pat, repl in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_redact_sql_duckdb(expr: str) -> str:
+    """DuckDB twin of pii_redact (global flag; same pattern order)."""
+    out = expr
+    for pat, repl in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

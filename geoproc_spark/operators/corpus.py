@@ -1,0 +1,89 @@
+"""Corpus-assembly operators: the last mile of an LLM training-data
+pipeline — turning a cleaned document set into the token stream a trainer
+consumes.
+
+- `pack_sequences`: concat-and-chunk sequence packing (the standard
+  pretraining layout: concatenate documents in a deterministic order and
+  split every `seq_len` tokens; GPT-3 §2.2 / T5-style packing). Each doc
+  is assigned the sequence its FIRST token lands in, via one cumulative
+  -sum window per source — no Python, no explode.
+- `mixture_resample`: deterministic domain-mixture resampling (DoReMi /
+  Pile-style per-source epoch weights): each doc is replicated
+  `floor(w)` times plus one more for the md5-bucket fraction of docs
+  selected by `frac(w)` — reproducible on any engine, any run, any
+  cluster size (same md5 trick as functions/text.split_assign).
+
+Scale notes:
+- Packing's one sequential constraint is the ordered running sum WITHIN a
+  source. That is a window over `partition by source` — a shuffle on
+  source, then a single ordered pass per partition. At 100 TB a `source`
+  is too big for one task; the production layout keys the window by
+  (source, shard) — the shard boundary wastes < seq_len tokens, which is
+  the standard trade. The fixture corpus keeps plain `source`.
+- Resampling is a pure per-row projection + explode: zero shuffle, output
+  row count = sum of weights — the explode happens AFTER filters, so
+  upsampled bytes never hit the shuffle fabric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Assign each document a packed-sequence id: documents are laid out
+    back-to-back per source in doc_id order and chopped every `seq_len`
+    tokens; a doc belongs to the sequence containing its first token.
+
+    Returns (doc_id, source, n_tokens, start_off, seq_id) — integer-exact,
+    so a SQL window oracle reproduces it bit-for-bit."""
+    n_tok = F.size(TX.tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .select("doc_id", "source", "n_tokens", start)
+        .withColumn("seq_id", F.floor(F.col("start_off") / seq_len))
+    )
+
+
+def mixture_resample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """Deterministic per-source epoch resampling: weight w means every doc
+    of that source appears floor(w) times, and the md5-selected frac(w)
+    share of docs appears once more. Sources absent from `weights` get
+    w = 1.0. Returns one row per REPLICA: (doc_id, source, epoch), epoch
+    in 1..n_copies; docs with n_copies = 0 (w < 1 and not selected) are
+    dropped.
+
+    The fractional selector reuses the portable md5 bucket (0..9999) of
+    the doc key, so the kept subset is a stable, engine-independent
+    property of the data — rerunning the pipeline or changing cluster
+    size cannot change the mixture."""
+    entries = [(s, int(w), round((w - int(w)) * 10000)) for s, w in weights.items()]
+    base = F.lit(1)
+    frac = F.lit(0)
+    for s, b, fr in entries:
+        base = F.when(F.col("source") == s, F.lit(b)).otherwise(base)
+        frac = F.when(F.col("source") == s, F.lit(fr)).otherwise(frac)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    n_copies = base + (bucket < frac).cast("int")
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+        )
+    )

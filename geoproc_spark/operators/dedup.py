@@ -403,3 +403,34 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
         n_inter.alias("n_inter"),
         (F.size("sh_a") + F.size("sh_b") - n_inter).cast("bigint").alias("n_union"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, k: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc that shares at
+    least one k-token n-gram with an evaluation/benchmark document — the
+    standard train/test-overlap scrub of LLM corpus prep (GPT-3 appendix C
+    / Llama-style 13-gram overlap; k is a parameter because the fixture
+    docs are short).
+
+    Returns (doc_id, n_hits) for contaminated docs only, n_hits = number
+    of DISTINCT benchmark n-grams the doc contains.
+
+    Scale shape: both sides shingle as zero-shuffle higher-order
+    projections; the benchmark side (an eval suite — MBs, not TBs) is
+    deduplicated and BROADCAST, so the corpus is scanned once and never
+    shuffled on the n-gram: the only Exchange is the final per-doc
+    aggregate. N-grams cross the join as 60-bit portable md5 hashes
+    (functions/text.token_hash), not strings, keeping the broadcast table
+    compact; the DuckDB oracle applies the identical hash so a collision
+    (2^-60-scale improbable) would still agree across engines."""
+    sh = TX.shingles_sql_spark("split(text, ' ')", k)
+    hashed = f"transform({sh}, g -> {TX.token_hash_sql_spark('g')})"
+    corp = spread(corpus).selectExpr("doc_id", f"explode({hashed}) AS ng")
+    bench = benchmark.selectExpr(f"explode({hashed}) AS ng").distinct()
+    return (
+        corp.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_hits"))
+    )

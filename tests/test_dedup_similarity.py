@@ -436,3 +436,91 @@ def test_split_assign_deterministic_and_proportional(spark):
     assert 20 < counts["val"] < 100 and 20 < counts["test"] < 100
     again = {r.id: r.split for r in df.collect()}
     assert again == {r.id: r.split for r in df.collect()}  # stable re-eval
+
+
+def test_decontaminate_flags_planted_benchmark_copies(spark):
+    """Every exact copy (doc_id % 7 planted dup) of a benchmark doc must be
+    flagged, and the benchmark originals themselves (present in the corpus)
+    must be flagged with the maximal hit count."""
+    docs = synth.docs_dup_df(spark, SF_DIR)
+    bench = spark.table("documents").filter("doc_id % 13 = 0")
+    hits = {r.doc_id: r.n_hits for r in dd.decontaminate(docs, bench, k=8).collect()}
+    for r in bench.select("doc_id").collect():
+        assert r.doc_id in hits  # the original IS in the corpus
+        if r.doc_id % 7 == 0:
+            assert hits.get(r.doc_id + 2000000) == hits[r.doc_id]  # exact copy
+    # docs sharing no 8-gram with the benchmark stay unflagged: spot-check
+    # that not everything got flagged
+    assert len(hits) < docs.count()
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = synth.docs_dup_df(spark, SF_DIR)
+    bench = spark.table("documents").filter("doc_id % 13 = 0")
+    plan = dd.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side must never shuffle on ng
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    from geoproc_spark.operators import corpus as corpus_op
+
+    synth.load_tables(spark, SF_DIR, ["documents"])
+    rows = corpus_op.pack_sequences(spark.table("documents"), seq_len=64).collect()
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        off = 0
+        for r in rs:
+            assert r.start_off == off, src
+            assert r.seq_id == off // 64
+            off += r.n_tokens
+
+
+def test_mixture_resample_respects_weights(spark):
+    from geoproc_spark.operators import corpus as corpus_op
+
+    synth.load_tables(spark, SF_DIR, ["documents"])
+    docs = spark.table("documents")
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.3, "src3": 0.0}
+    out = corpus_op.mixture_resample(docs.filter("source IN ('src0','src1','src2','src3')"), weights)
+    per = {r.source: r for r in out.groupBy("source").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")).collect()}
+    n_in = docs.filter("source = 'src0'").count()  # 25 docs per source
+    assert "src3" not in per  # weight 0 -> dropped entirely
+    assert per["src1"].n == n_in and per["src1"].nd == n_in  # exactly once
+    # src0: every doc 2 or 3 times -> total in [2n, 3n], all docs present
+    assert per["src0"].nd == n_in and 2 * n_in <= per["src0"].n <= 3 * n_in
+    # src2: ~30% of docs once; md5 selection is deterministic, just bounds
+    assert 0 < per["src2"].n == per["src2"].nd < n_in
+    # determinism: second run identical
+    out2 = corpus_op.mixture_resample(
+        docs.filter("source IN ('src0','src1','src2','src3')"), weights)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    synth.load_tables(spark, SF_DIR, ["embeddings"])
+    q = sim.quantize_int8(spark.table("embeddings").select("vec_id", "embedding"))
+    rows = q.collect()
+    emb = {r.vec_id: r.embedding for r in spark.table("embeddings").collect()}
+    assert len(rows) == len(emb)
+    for r in rows[:50]:
+        assert max(abs(v) for v in r.q) == 127  # the max-|x| dim saturates
+        assert all(-127 <= v <= 127 for v in r.q)
+        # dequantized values within half a quantization step of the input
+        for x, v in zip(emb[r.vec_id], r.q):
+            assert abs(v * r.scale - x) <= r.scale / 2 + 1e-9
+
+
+def test_pii_redaction_removes_every_match(spark):
+    d = synth.pii_docs_df(spark, SF_DIR)
+    from geoproc_spark.functions import text as TX
+
+    red = d.select(TX.pii_redact(F.col("text")).alias("t"))
+    leftovers = red.filter(
+        "t rlike '[A-Za-z0-9._%+-]+@' OR t rlike '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'"
+    ).count()
+    assert leftovers == 0
+    # and the corpus really contained PII to begin with
+    assert d.filter("text rlike '@'").count() > 0
