@@ -524,3 +524,88 @@ def test_pii_redaction_removes_every_match(spark):
     assert leftovers == 0
     # and the corpus really contained PII to begin with
     assert d.filter("text rlike '@'").count() > 0
+
+
+def test_pii_patterns_dialect_parity_fuzz(spark):
+    """The ONE regex string per PII class must behave identically in Java
+    (Spark) and RE2 (DuckDB) — counts AND every redacted byte — over a
+    seeded adversarial corpus: emails/phones/IPs embedded mid-text,
+    back-to-back, at string edges, near-misses (double dots, short TLDs,
+    5-octet runs), and unicode filler."""
+    import random
+
+    import duckdb
+
+    from geoproc_spark.functions import text as TX
+
+    rng = random.Random(7)
+    frags = [
+        "a.b@x.co", "no-at-sign.com", "u_1%x@a-b.c.de", "x@y.z",  # z: 1-char TLD
+        "+1-415-555-0101", "+1-415-555", "1.2.3.4", "10.0.200.7.9",
+        "255.255.255.255", "1.2.3", "word", "emoji éü☃",
+        "a@b..com", "trailing@dot.com.", "@start.com", "end@",
+    ]
+    texts = []
+    for i in range(300):
+        n = rng.randrange(0, 6)
+        texts.append(" ".join(rng.choice(frags) for _ in range(n)) or "empty")
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: (r.ne, r.np_, r.ni, r.red)
+        for r in sdf.select(
+            "i",
+            TX.pii_count(F.col("t"), "email").alias("ne"),
+            TX.pii_count(F.col("t"), "phone").alias("np_"),
+            TX.pii_count(F.col("t"), "ip").alias("ni"),
+            TX.pii_redact(F.col("t")).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", list(enumerate(texts)))
+    cnt = {
+        k: f"len(regexp_extract_all(t, '{p}'))" for k, (p, _) in TX.PII_PATTERNS.items()
+    }
+    want = {
+        row[0]: (row[1], row[2], row[3], row[4])
+        for row in con.execute(
+            f"SELECT i, {cnt['email']}, {cnt['phone']}, {cnt['ip']}, "
+            f"{TX.pii_redact_sql_duckdb('t')} FROM tt"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_quantize_round_dialect_parity_fuzz(spark):
+    """round() on doubles must agree between Spark (BigDecimal HALF_UP) and
+    DuckDB (C++ round) for every quantized value — fuzzed over seeded
+    vectors INCLUDING exact .5 ratios (x = scale * k/2) where tie-breaking
+    would diverge if the semantics differed."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    vecs = []
+    for i in range(200):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        m = max(abs(x) for x in base)
+        # plant exact half-step ratios: x such that x / (m/127) = k + 0.5
+        scale = m / 127.0
+        base[0] = scale * (rng.randrange(0, 127) + 0.5)
+        vecs.append((i, [float(x) for x in base]))
+    sdf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.scale, r.q) for r in sim.quantize_int8(sdf).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vv(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO vv VALUES (?, ?)", vecs)
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute("""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM vv),
+            s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e)
+            SELECT vec_id, scale,
+                   list_transform(emb, x -> CAST(round(x / scale, 0) AS BIGINT))
+            FROM s""").fetchall()
+    }
+    assert got == want
