@@ -87,3 +87,41 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
         )
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-level token frequency top-k — the counting pass of tokenizer
+    (BPE/unigram) training. Ties break on the token string so the result
+    is fully deterministic.
+
+    Scale shape: explode -> hash aggregate (map-side partial combine does
+    the heavy lifting: per-partition token counts are vocabulary-sized,
+    not corpus-sized) -> global top-k via orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps + a k-row
+    driver merge) — NOT a single-partition window sort."""
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def stratified_sample(docs: DataFrame, n_per: int = 5, key_col: str = "source") -> DataFrame:
+    """Deterministic stratified sample: the n_per docs per stratum that
+    rank first by the portable md5 hash of their doc_id — a stable,
+    engine-independent pseudo-random draw (same md5 trick as
+    mixture_resample), the standard way to cut a balanced eval slice from
+    a skewed corpus without an RNG in the lineage.
+
+    One shuffle on the stratum key; the per-partition window sort is
+    bounded by the stratum size (salt the key when a stratum outgrows a
+    task, trading exactness of the hash order inside the stratum)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(key_col).orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per)
+        .drop("rk")
+    )

@@ -2085,6 +2085,52 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_K = 20  # fixture vocabulary is 31 tokens — k=20 exercises the cut
+
+
+@query(
+    "corpus_vocab_topk",
+    f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT {_VOCAB_K}
+""",
+    driver=False,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-k (operators/corpus.vocab_topk — the
+    tokenizer-training counting pass): map-side-combined hash aggregate,
+    then TakeOrderedAndProject (never a 1-partition sort); ties break on
+    the token so the k-row set is deterministic."""
+    from .operators import corpus as corpus_op
+
+    synth.load_tables(spark, sf_dir, ["documents"])
+    return corpus_op.vocab_topk(spark.table("documents"), k=_VOCAB_K)
+
+
+@query(
+    "corpus_stratified_sample",
+    """
+WITH r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 5
+""",
+    driver=False,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (operators/corpus.stratified_sample):
+    5 docs per source by portable md5 order — an engine-independent
+    balanced eval slice, no RNG in the lineage."""
+    from .operators import corpus as corpus_op
+
+    synth.load_tables(spark, sf_dir, ["documents"])
+    return corpus_op.stratified_sample(spark.table("documents"), n_per=5).select(
+        "doc_id", "source"
+    )
+
+
 # The driver records queries in registration order with a 50-entry budget
 # (r04: 51 registered -> the 51st, this flagship, had no correctness row).
 # Put the flagship FIRST so it can never fall off the tail again, keep

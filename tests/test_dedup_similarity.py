@@ -609,3 +609,30 @@ def test_quantize_round_dialect_parity_fuzz(spark):
             FROM s""").fetchall()
     }
     assert got == want
+
+
+def test_vocab_topk_uses_heap_not_global_sort(spark):
+    from geoproc_spark.operators import corpus as corpus_op
+
+    synth.load_tables(spark, SF_DIR, ["documents"])
+    df = corpus_op.vocab_topk(spark.table("documents"), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, k-row merge
+    rows = df.collect()
+    assert len(rows) == 10
+    assert [r.n for r in rows] == sorted((r.n for r in rows), reverse=True)
+
+
+def test_stratified_sample_exact_quota_per_stratum(spark):
+    from geoproc_spark.operators import corpus as corpus_op
+
+    synth.load_tables(spark, SF_DIR, ["documents"])
+    docs = spark.table("documents")
+    out = corpus_op.stratified_sample(docs, n_per=3)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources and set(per.values()) == {3}
+    # deterministic draw: same ids both runs
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in corpus_op.stratified_sample(docs, n_per=3).collect())
+    assert ids1 == ids2
