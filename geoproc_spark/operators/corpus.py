@@ -125,3 +125,40 @@ def stratified_sample(docs: DataFrame, n_per: int = 5, key_col: str = "source") 
         .filter(F.col("rk") <= n_per)
         .drop("rk")
     )
+
+
+def bigram_lm_score(docs: DataFrame, model_docs: DataFrame) -> DataFrame:
+    """CCNet-style fit-then-score quality signal: fit a bigram count model
+    on a reference corpus (typically the 'train' split, or a trusted
+    corpus like Wikipedia in CCNet), then score every document by how
+    familiar its bigrams are. Integer-exact surrogate for perplexity —
+    per doc: bigram total, count unseen in the model (OOV), and the sums
+    of the model's bigram / first-token counts over seen bigrams — so a
+    SQL oracle reproduces it bit-for-bit (log-prob would hash-differ in
+    the last ulp across engines' libm).
+
+    Scale shape: the model is vocabulary-bounded (|V|^2 rows max — MBs
+    even for a 100k-token vocab), built with one map-side-combined
+    aggregate and BROADCAST; the scored corpus is scanned once, never
+    shuffled on the bigram, and only the per-doc aggregate exchanges.
+    Docs with < 2 tokens produce no bigrams and are absent from the
+    output (identically on any engine)."""
+    bg = TX.shingles_sql_spark("split(text, ' ')", 2, distinct=False)
+    mbg = model_docs.selectExpr(f"explode({bg}) AS bg")
+    c_ab = mbg.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    c_a = (
+        mbg.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("tok"))
+        .agg(F.count("*").alias("c_a"))
+    )
+    model = c_ab.withColumn(
+        "tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    ).join(c_a, "tok").select("bg", "c_ab", "c_a")
+    scored = docs.selectExpr("doc_id", f"explode({bg}) AS bg").join(
+        F.broadcast(model), "bg", "left"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.count_if(F.col("c_ab").isNull()).cast("bigint").alias("n_oov"),
+        F.coalesce(F.sum("c_ab"), F.lit(0)).cast("bigint").alias("sum_cab"),
+        F.coalesce(F.sum("c_a"), F.lit(0)).cast("bigint").alias("sum_ca"),
+    )

@@ -636,3 +636,24 @@ def test_stratified_sample_exact_quota_per_stratum(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in corpus_op.stratified_sample(docs, n_per=3).collect())
     assert ids1 == ids2
+
+
+def test_lm_score_oov_semantics(spark):
+    from geoproc_spark.functions import text as TX2
+    from geoproc_spark.operators import corpus as corpus_op
+
+    synth.load_tables(spark, SF_DIR, ["documents"])
+    docs = spark.table("documents")
+    train = docs.filter(TX2.split_assign(F.col("doc_id").cast("string")) == "train")
+    out = corpus_op.bigram_lm_score(docs, train)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # model side broadcast, corpus unshuffled
+    rows = {r.doc_id: r for r in out.collect()}
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    for did, r in rows.items():
+        assert r.n_bigrams > 0 and 0 <= r.n_oov <= r.n_bigrams
+        if did in train_ids:
+            assert r.n_oov == 0  # its own bigrams are in the model
+        # seen bigrams carry positive model mass
+        if r.n_oov < r.n_bigrams:
+            assert r.sum_cab > 0 and r.sum_ca >= r.sum_cab
