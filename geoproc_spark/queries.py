@@ -499,6 +499,7 @@ def tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===================================================== training-data pipeline
 from .functions import text as TX  # noqa: E402
+from .functions import textkern as TK  # noqa: E402
 from .operators import dedup as dd  # noqa: E402
 from .operators import similarity as sim  # noqa: E402
 
@@ -728,54 +729,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — driver loop, each round one small label join); the oracle
     unrolls 6 propagation rounds, comfortably above the fixture graph diameter (extra rounds are idempotent)."""
     from .operators._cache import swap_cache
-    from .functions import text as _TX
 
     # spread the narrow local corpus so the md5-per-shingle base pass uses
     # every core (pure map: cores == input partitions)
     docs = dd.spread(synth.docs_dup_df(spark, sf_dir))
-    # one shared base pass: 60-bit shingle hashes + text hash, computed and
-    # persisted ONCE — signatures, the jaccard refine (hash-set
-    # intersection == string-set intersection w.h.p. at 60 bits), and the
-    # exact-dup pairing all read this instead of re-scanning+re-hashing
-    sh_expr = _TX.shingles_sql_spark("split(text, ' ')", 3)
-    base = swap_cache(
-        "dedup_cc_base",
-        docs.selectExpr(
-            "doc_id",
-            f"transform({sh_expr}, g -> CAST(conv(substring(md5(g),1,15),16,10) AS BIGINT)) AS h60",
-            "md5(text) AS th",
-        ),
-    )
-    # single-accumulator fold (same trick as dd.minhash_signatures): one
-    # pass over the shingle array carries all 16 minima; the 32-bit
-    # reduction x % P hoists into the aggregate's input transform so it
-    # runs once per shingle, not once per (shingle, perm)
+    # one shared base pass, persisted ONCE (r6: Arrow+numpy kernel replaces
+    # the JVM shingle HOF + 16-perm zip_with fold — the fold ran
+    # interpreted at 16 lambda calls per shingle): 60-bit shingle hashes
+    # for the jaccard refine (hash-set intersection == string-set
+    # intersection w.h.p. at 60 bits), text hash for exact-dup pairing,
+    # and all 16 minhash minima, in a SINGLE corpus scan.
     perms = synth.minhash_perms()
-    pstructs = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for _, a, b in perms)
-    fold = (
-        f"aggregate(transform(h60, x -> x % {synth.MINHASH_P}), "
-        f"array_repeat({synth.MINHASH_P}L, {len(perms)}), "
-        f"(acc, y) -> zip_with(acc, array({pstructs}), "
-        f"(m, p) -> least(m, (p.a * y + p.b) % {synth.MINHASH_P}L)))"
-    )
-    sigs = (
-        base.filter("size(h60) > 0")
-        .selectExpr("doc_id", f"{fold} AS mins")
-        .selectExpr(
-            "doc_id",
-            # by list position, not pid value (ADVICE r04 — see
-            # dd.minhash_signatures)
-            *[
-                f"element_at(mins, {i + 1}) AS mh{pid}"
-                for i, (pid, _, _) in enumerate(perms)
-            ],
-        )
-    )
-    # persist bands before the self-join, or BOTH join sides re-run the 16
-    # minhash folds over the cached hash arrays (the same reuse
-    # lsh_candidate_pairs gets from its own swap_cache)
+    base = swap_cache("dedup_cc_base", TK.cc_base(docs, perms))
+    # docs too short to shingle carry NULL minhash columns — excluded from
+    # banding (same set the old size(h60) > 0 filter dropped)
+    sigs = base.filter(f"mh{perms[0][0]} IS NOT NULL")
+    # persist bands before the self-join so the join's two sides read ONE
+    # materialization (the same reuse lsh_candidate_pairs gets from its
+    # own swap_cache)
     bands = swap_cache(
-        "dedup_cc_bands", dd.lsh_bands(sigs, len(synth.minhash_perms()), rows_per_band=4)
+        "dedup_cc_bands", dd.lsh_bands(sigs, len(perms), rows_per_band=4)
     )
     cand = (
         bands.selectExpr("doc_id AS doc_a", "band_id", "band_key")
@@ -864,17 +837,18 @@ SELECT DISTINCT doc_id, fp FROM w
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: 3-gram hash, window-4 minima, distinct.
     (Rolling-hash document fingerprinting; window minima make the selection
-    position-stable so near-identical docs share most fingerprints.)"""
-    from pyspark.sql import Window
+    position-stable so near-identical docs share most fingerprints.)
 
+    r6 optimization: the window minimum is per-doc local, so it computes
+    inside the Arrow kernel (functions/textkern) with NO shuffle at all —
+    the previous posexplode + Window(doc_id ORDER BY pos) + global
+    distinct() paid one Exchange+Sort for the window and a second Exchange
+    for the distinct (38.5 s at sf1.0 -> ~2 s). Per-doc np.unique makes the
+    rows globally distinct already (doc_ids differ across docs), identical
+    to the oracle's SELECT DISTINCT."""
     synth.load_tables(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
-    sh = docs.selectExpr(
-        "doc_id",
-        "posexplode(" + TX.shingles_sql_spark("split(text, ' ')", distinct=False) + ") AS (pos0, g)",
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), (TX.token_hash(F.col("g")) % synth.MINHASH_P).alias("h"))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    docs = dd.spread(spark.table("documents"))
+    return TK.winnow_fingerprints(docs, synth.MINHASH_P, window=4)
 
 
 @query(

@@ -258,11 +258,12 @@ def test_short_docs_have_no_signature_and_stay_singleton(spark):
 def test_connected_components_long_chain(spark):
     """Robustness beyond near-clique dup graphs: a diameter-11 path graph
     converges to one component within max_rounds, and the adaptive batch
-    doubling (VERDICT r04 #1) caps driver round-trips at O(log d): the 11
-    propagation rounds plus one change-free confirming batch must arrive
-    in <= 4 batches (2+4+8+2), not the 7 a fixed check_every=2 would take.
-    Singletons outside the edge set are restored by the final label
-    join."""
+    doubling (VERDICT r04 #1) caps driver round-trips at O(log d): with
+    batches 1+2+4+8 and the r6 last-round-of-batch convergence check
+    (round 15 is change-free, proving the fixpoint with no extra
+    confirming batch) the 11 propagation rounds arrive in <= 4 batches,
+    not the 12 a fixed check_every=1 would take. Singletons outside the
+    edge set are restored by the final label join."""
     ids = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
