@@ -81,6 +81,33 @@ def _pip_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series, fid: pd.Series) ->
     return pd.Series(out)
 
 
+def _pip_udf_broadcast(rings_bc):
+    """PIP refine over (lon, lat, feature_id) ONLY — ring geometry comes
+    from a broadcast {feature_id: flat ring ndarray} looked up inside the
+    worker (r6, guide §4: pass only the columns the function needs). The
+    old per-row `ring` column duplicated the polygon into EVERY candidate
+    row crossing the Arrow boundary — ~160 B x 12M candidates at sf1.0,
+    profiled at half the refine stage's wall."""
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, fid: pd.Series) -> pd.Series:
+        rings = rings_bc.value
+        out = np.zeros(len(lon), dtype=bool)
+        px = lon.to_numpy(dtype=np.float64)
+        py = lat.to_numpy(dtype=np.float64)
+        f = fid.to_numpy(dtype=np.int64)
+        order = np.argsort(f, kind="stable")
+        fs = f[order]
+        starts = np.flatnonzero(np.r_[True, fs[1:] != fs[:-1]])
+        bounds = np.r_[starts, len(fs)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ii = order[a:b]
+            out[ii] = points_in_ring_np(px[ii], py[ii], rings[fs[a]])
+        return pd.Series(out)
+
+    return pip
+
+
 # ------------------------------------------------------------- polygon layer
 def polygons_df(spark: SparkSession) -> DataFrame:
     """The fixture polygon layer as general closed rings (FIXTURES.md T2)."""
@@ -156,13 +183,27 @@ def spatial_join(
     pts = points.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
     pts = pts.withColumn("_cell", cells.cell_id_col(F.col(lat_col), F.col(lon_col), zoom))
 
-    poly_cells = (
-        with_covering_cells(poly, zoom)
-        .select("feature_id", "ring", F.explode("covering_cells").alias("_cell"))
-    )
-
+    rings_bc = None
     if broadcast_poly:
-        poly_cells = F.broadcast(poly_cells)
+        # the caller declared the layer broadcast-sized, so its raw rings
+        # fit in a broadcast variable too: ship geometry ONCE per executor
+        # and keep the candidate rows ring-free (r6 — see _pip_udf_broadcast)
+        spark = points.sparkSession
+        rings_bc = spark.sparkContext.broadcast(
+            {
+                r["feature_id"]: np.asarray(r["ring"], dtype=np.float64)
+                for r in poly.select("feature_id", "ring").collect()
+            }
+        )
+        poly_cells = F.broadcast(
+            with_covering_cells(poly, zoom).select(
+                "feature_id", F.explode("covering_cells").alias("_cell")
+            )
+        )
+    else:
+        poly_cells = with_covering_cells(poly, zoom).select(
+            "feature_id", "ring", F.explode("covering_cells").alias("_cell")
+        )
 
     if salt_buckets and salt_buckets > 1:
         # Page side picks one salt; polygon side replicated over all salts.
@@ -179,9 +220,16 @@ def spatial_join(
     else:
         joined = pts.join(poly_cells, "_cell", "inner")
 
-    refined = joined.filter(
-        _pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring"), F.col("feature_id"))
-    )
+    if rings_bc is not None:
+        refined = joined.filter(
+            _pip_udf_broadcast(rings_bc)(
+                F.col(lon_col), F.col(lat_col), F.col("feature_id")
+            )
+        )
+    else:
+        refined = joined.filter(
+            _pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring"), F.col("feature_id"))
+        )
     return refined.drop("_cell", "_salt", "ring")
 
 
