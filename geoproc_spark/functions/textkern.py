@@ -225,6 +225,84 @@ def winnow_fingerprints(
     return docs.select("doc_id", "text").mapInPandas(kern, f"doc_id {did_t}, fp long")
 
 
+STOPWORDS = ("the", "a", "of", "and", "to")  # functions/text.STOPWORDS
+
+
+def doc_stats(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Per-doc token statistics in ONE Arrow pass: (keep..., n_chars,
+    n_tokens, n_uniq, n_stop, max_token_len, n_dup_tokens, top_bigram_n).
+
+    Twin of functions/text.quality_metrics + repetition_metrics, which
+    chain interpreted JVM HOFs (filter/transform/array_sort + an
+    aggregate run-length fold) and re-evaluate split() per metric. Values
+    are bit-identical (parity-pinned by test_textkern_parity), including
+    the JVM null conventions: null text -> every stat NULL (size(NULL) is
+    NULL since Spark 3.0) except top_bigram_n, whose coalesce(..., 0)
+    yields 0."""
+    from collections import Counter
+
+    stop = set(STOPWORDS)
+
+    def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {c: pdf[c].tolist() for c in keep}
+            n_chars: list = []
+            n_tokens: list[int] = []
+            n_uniq: list[int] = []
+            n_stop: list[int] = []
+            max_len: list = []
+            n_dup: list[int] = []
+            top_bg: list[int] = []
+            for txt in pdf["text"].values:
+                if txt is None:
+                    n_chars.append(None)
+                    n_tokens.append(None)
+                    n_uniq.append(None)
+                    n_stop.append(None)
+                    max_len.append(None)
+                    n_dup.append(None)
+                    top_bg.append(0)
+                    continue
+                toks = txt.split(" ")
+                n = len(toks)
+                u = len(set(toks))
+                n_chars.append(len(txt))
+                n_tokens.append(n)
+                n_uniq.append(u)
+                n_stop.append(sum(t in stop for t in toks))
+                max_len.append(max(map(len, toks)))
+                n_dup.append(n - u)
+                top_bg.append(
+                    max(Counter(zip(toks, toks[1:])).values()) if n >= 2 else 0
+                )
+            out = pd.DataFrame(cols)
+            out["n_chars"] = pd.array(n_chars, dtype="Int64")
+            out["n_tokens"] = pd.array(n_tokens, dtype="Int64")
+            out["n_uniq"] = pd.array(n_uniq, dtype="Int64")
+            out["n_stop"] = pd.array(n_stop, dtype="Int64")
+            out["max_token_len"] = pd.array(max_len, dtype="Int64")
+            out["n_dup_tokens"] = pd.array(n_dup, dtype="Int64")
+            out["top_bigram_n"] = np.asarray(top_bg, dtype=np.int64)
+            yield out
+
+    types = dict(
+        zip(docs.schema.names, (f.dataType.simpleString() for f in docs.schema.fields))
+    )
+    schema = ", ".join(
+        [f"{c} {types[c]}" for c in keep]
+        + [
+            "n_chars bigint",
+            "n_tokens bigint",
+            "n_uniq bigint",
+            "n_stop bigint",
+            "max_token_len bigint",
+            "n_dup_tokens bigint",
+            "top_bigram_n bigint",
+        ]
+    )
+    return docs.select(*keep, "text").mapInPandas(kern, schema)
+
+
 def cc_base(docs: DataFrame, perms: list[tuple[int, int, int]], k: int = 3) -> DataFrame:
     """One-pass base table for the dedup pipeline: (doc_id, h60 array,
     md5(text) hex, mh0..mh{n-1}) — shingle hashes for the exact-Jaccard

@@ -647,9 +647,15 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason code — the cleaning gate of a training-data pipeline, all JVM
     expressions."""
     synth.load_tables(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
-    m = TX.quality_metrics(F.col("text"))
-    n_tokens, n_stop, max_len = m["n_tokens"], m["n_stop"], m["max_token_len"]
+    # r6: one Arrow stats pass (textkern.doc_stats) replaces four
+    # interpreted HOF chains that each re-split the text; spread first —
+    # the single-file table otherwise runs the kernel on one core
+    stats = TK.doc_stats(dd.spread(spark.table("documents")))
+    n_tokens, n_stop, max_len = (
+        F.col("n_tokens"),
+        F.col("n_stop"),
+        F.col("max_token_len"),
+    )
     keep = (
         (n_tokens >= 10) & (max_len <= 20) & (n_stop * 20 >= n_tokens)
     ).cast("int")
@@ -659,8 +665,8 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n_stop * 20 < n_tokens, "low_stopword")
         .otherwise("ok")
     )
-    return docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), keep.alias("keep"), reason.alias("reason")
+    return stats.select(
+        "doc_id", "n_tokens", keep.alias("keep"), reason.alias("reason")
     )
 
 
@@ -803,17 +809,18 @@ FROM t
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals + heuristic language id (all JVM exprs)."""
     synth.load_tables(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
-    m = TX.quality_metrics(F.col("text"))
-    return docs.select(
+    # r6: one Arrow stats pass (textkern.doc_stats) instead of five
+    # interpreted HOF chains over re-split tokens
+    stats = TK.doc_stats(dd.spread(spark.table("documents")), keep=("doc_id", "lang"))
+    return stats.select(
         "doc_id",
         "lang",
-        m["n_chars"].alias("n_chars"),
-        m["n_tokens"].alias("n_tokens"),
-        m["n_uniq"].alias("n_uniq"),
-        m["n_stop"].alias("n_stop"),
-        m["max_token_len"].alias("max_token_len"),
-        TX.lang_pred(m["n_stop"], m["n_tokens"]).alias("lang_pred"),
+        "n_chars",
+        "n_tokens",
+        "n_uniq",
+        "n_stop",
+        "max_token_len",
+        TX.lang_pred(F.col("n_stop"), F.col("n_tokens")).alias("lang_pred"),
     )
 
 
@@ -1587,23 +1594,20 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/looping-text gate of a web-corpus pipeline. Integer-exact
     cross-multiplied rules, zero-shuffle JVM higher-order expressions."""
     synth.load_tables(spark, sf_dir, ["documents"])
-    # bigram array materialized as a COLUMN first — see repetition_metrics:
-    # an inline expression would be re-built per outer lambda element
-    docs = dd.spread(spark.table("documents")).selectExpr(
-        "doc_id",
-        "text",
-        TX.shingles_sql_spark("split(text, ' ')", 2, distinct=False) + " AS _bg",
-    )
-    m = TX.repetition_metrics(F.col("text"), bigrams=F.col("_bg"))
-    n, dup, top = m["n_tokens"], m["n_dup_tokens"], m["top_bigram_n"]
+    # r6: the modal-bigram run-length fold (array_sort + aggregate) ran
+    # interpreted per element and needed JIT warm-up every bench rep
+    # (5.1 s cold / 1.9 s warm at sf1.0); the Arrow stats kernel computes
+    # the same integers in one pass (~0.5 s, no warm-up cliff)
+    stats = TK.doc_stats(dd.spread(spark.table("documents")))
+    n, dup, top = F.col("n_tokens"), F.col("n_dup_tokens"), F.col("top_bigram_n")
     keep = (
         (dup * 10 < n * 3) & (top * 5 <= F.greatest(n - 1, F.lit(1)))
     ).cast("int")
-    return docs.select(
+    return stats.select(
         "doc_id",
-        n.alias("n_tokens"),
-        dup.alias("n_dup_tokens"),
-        top.alias("top_bigram_n"),
+        "n_tokens",
+        "n_dup_tokens",
+        "top_bigram_n",
         keep.alias("keep"),
     )
 

@@ -85,6 +85,40 @@ def test_cc_base_matches_jvm_base_and_sigs(spark, docs):
     assert got_mh == want_mh
 
 
+def test_doc_stats_matches_jvm_metrics(spark):
+    """doc_stats equals quality_metrics + repetition_metrics column by
+    column, including the JVM null conventions, on the fixture corpus plus
+    hand-built edge docs (null text, empty text, single token, looping
+    bigrams)."""
+    from geoproc_spark.functions import text as TX
+
+    synth.load_tables(spark, SF_DIR, ["documents"])
+    edge = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "one"),
+            (900004, "buy now buy now buy now"),
+            (900005, "a  b"),  # consecutive spaces -> empty token
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.table("documents").select("doc_id", "text").unionByName(edge)
+    q = TX.quality_metrics(F.col("text"))
+    r = TX.repetition_metrics(F.col("text"))
+    jvm = docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_uniq"].alias("n_uniq"),
+        q["n_stop"].alias("n_stop"),
+        q["max_token_len"].alias("max_token_len"),
+        r["n_dup_tokens"].alias("n_dup_tokens"),
+        r["top_bigram_n"].alias("top_bigram_n"),
+    )
+    assert _rows(TK.doc_stats(docs)) == _rows(jvm)
+
+
 def test_kernels_drop_short_and_null_docs(spark):
     rows = [(1, "a b"), (2, None), (3, "one two three four"), (4, "")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
