@@ -30,11 +30,38 @@ def hourly_agg(ev: DataFrame) -> DataFrame:
     )
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming query's
+    lifetime (r6). A stateful stream's state-store partition count is the
+    shuffle-partition value at first checkpoint; for a windowed aggregate
+    the state keys are (window, event_type) pairs — bounded by the
+    watermark horizon to TENS of rows at any input scale — so the session
+    default (sized for corpus-wide shuffles) spreads a handful of state
+    rows over 32+ partitions and pays per-partition state-file + commit
+    I/O every micro-batch for nothing (profiled: 3.4 s -> 1.9 s at 8
+    partitions, identical results; the pre-shuffle partial aggregation
+    still runs at full input parallelism)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def run_hourly_stream(
     spark: SparkSession,
     events_dir: str,
     checkpoint_dir: str,
     out_table: str = "hourly_stream_result",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the hourly aggregate as a stream over a parquet directory with an
     availableNow trigger (process-everything-then-stop), checkpointed.
@@ -52,16 +79,17 @@ def run_hourly_stream(
         )
     else:
         stream = spark.readStream.schema(schema).parquet(events_dir)
-    q = (
-        hourly_agg(stream)
-        .writeStream.format("memory")
-        .queryName(out_table)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            hourly_agg(stream)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(out_table)
 
 
@@ -71,6 +99,7 @@ def run_hourly_stream_append(
     checkpoint_dir: str,
     out_dir: str,
     watermark: str = "2 hours",
+    state_partitions: int | None = 8,
 ):
     """The PRODUCTION streaming shape (VERDICT r04 #2): watermarked
     APPEND-mode hourly aggregate into a file sink.
@@ -112,22 +141,23 @@ def run_hourly_stream_append(
     ev = stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
         "ts", watermark
     )
-    q = (
-        hourly_agg(ev)
-        .select(
-            F.col("hour").cast("timestamp_ntz").alias("hour"),
-            "event_type",
-            "n_events",
-            "sum_cents",
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            hourly_agg(ev)
+            .select(
+                F.col("hour").cast("timestamp_ntz").alias("hour"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     # numRowsTotal is a point-in-time gauge (last batch wins); the
     # removal/update counts are per-batch and must SUM across the run —
     # eviction happens in every micro-batch whose watermark closed windows
