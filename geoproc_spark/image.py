@@ -887,12 +887,11 @@ class Image:
                 (ws, ws),
                 counts,
             )
-            prefix, data_off = _gt.assemble_tiff(entries, counts)
-            if data_off + sum(counts) > (1 << 32) - 1:
-                # past the classic-TIFF 4 GiB offset limit: re-assemble the
-                # header as BigTIFF (64-bit offsets) — same chunks, same
-                # streaming write, only the prefix changes
-                prefix, data_off = _gt.assemble_tiff(entries, counts, bigtiff=True)
+            # classic vs BigTIFF decided BEFORE packing (ADVICE r05 high
+            # #2: classic assembly raises struct.error on any >u32 chunk
+            # offset, so a post-hoc check never ran for real >4 GiB
+            # exports) — same chunks, same streaming write either way
+            prefix, data_off, _big = _gt.assemble_tiff_auto(entries, counts)
             n_parts = max(1, (n_tiles + tiles_per_stream_partition - 1)
                           // tiles_per_stream_partition)
             ordered = chunks.repartitionByRange(

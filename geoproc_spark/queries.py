@@ -767,8 +767,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = base.selectExpr("doc_id AS doc_b", "h60 AS h_b")
     n_inter = F.size(F.array_intersect("h_a", "h_b"))
     n_union = F.size("h_a") + F.size("h_b") - n_inter
+    # broadcast the PAIR side of both refine joins (r6): candidate pairs
+    # are near-dup-bounded (a tiny fraction of the corpus by construction),
+    # so the corpus-wide base — the cached table carrying the h60 arrays —
+    # is probed in place and never shuffles; without the hint Catalyst has
+    # no estimate behind the kernel/cache and shuffled base twice.
     near = (
-        cand.join(a, "doc_a").join(b, "doc_b")
+        b.join(F.broadcast(a.join(F.broadcast(cand), "doc_a")), "doc_b")
         .filter(n_inter * 5 >= n_union * 4)
         .select("doc_a", "doc_b")
     )
@@ -784,10 +789,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipelines from the parquet scans — ignoring the persisted base/bands
     # — every time the edge cache materializes (measured ~2x the whole
     # query). Checkpointing materializes each branch ONCE through the
-    # caches; the union then reads two RDD leaves.
-    pairs = (
-        near.localCheckpoint().unionByName(exact.localCheckpoint()).distinct()
-    )
+    # caches; the union then reads two RDD leaves. The two checkpoints are
+    # independent jobs — run them on threads so exact's stages back-fill
+    # near's stragglers (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        near_ck, exact_ck = pool.map(
+            lambda df: df.localCheckpoint(), (near, exact)
+        )
+    pairs = near_ck.unionByName(exact_ck).distinct()
     return dd.connected_components(base.select("doc_id"), pairs)
 
 

@@ -75,12 +75,20 @@ def _read_ifd_entries(
 
 def _decode_chunk(
     raw: bytes, off: int, cnt: int, comp: int, dtype: np.dtype, predictor: int,
-    rows: int, row_samples: int,
+    rows: int, row_samples: int, cspp: int = 1,
 ) -> np.ndarray:
     """One strip/tile payload -> flat sample array of `rows * row_samples`
     values (caller reshapes). Handles deflate (8 / legacy 32946) via stdlib
-    zlib and horizontal-differencing Predictor 2 (row-wise cumsum over the
-    interleaved samples — the COG default for integer data)."""
+    zlib and horizontal-differencing Predictor 2 (the COG default for
+    integer data).
+
+    TIFF 6.0 predictor 2 differences per sample COMPONENT, not across the
+    flat interleaved row: for chunky (PlanarConfiguration=1) data the
+    delta stride is samples-per-pixel, so the cumsum runs along the WIDTH
+    axis of a (rows, width, cspp) view (ADVICE r05 high #1 — the flat
+    cumsum silently corrupted every chunky predictor-2 band after the
+    first sample of each row; planar data has cspp == 1, where the two
+    forms coincide)."""
     buf = raw[off:off + cnt]
     if comp in (8, 32946):
         import zlib
@@ -88,9 +96,13 @@ def _decode_chunk(
         buf = zlib.decompress(buf)
     a = np.frombuffer(buf, dtype=dtype, count=rows * row_samples)
     if predictor == 2:
-        a = np.cumsum(
-            a.reshape(rows, row_samples).astype(np.int64), axis=1, dtype=np.int64
-        ).astype(dtype).ravel()
+        a = (
+            a.reshape(rows, row_samples // cspp, cspp)
+            .astype(np.int64)
+            .cumsum(axis=1, dtype=np.int64)
+            .astype(dtype)
+            .ravel()
+        )
     return a
 
 
@@ -152,7 +164,7 @@ def read_geotiff(raw: bytes) -> dict:
                 tyi, txi = divmod(i, ta)
                 a = _decode_chunk(
                     raw, offs[p * tpb + i], cnts[p * tpb + i], comp, dtype,
-                    predictor, th, tw * cspp,
+                    predictor, th, tw * cspp, cspp,
                 )
                 if planar == 2:
                     full[p, tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw] = (
@@ -175,7 +187,7 @@ def read_geotiff(raw: bytes) -> dict:
                 parts.append(
                     _decode_chunk(
                         raw, offs[base + s], cnts[base + s], comp, dtype,
-                        predictor, rows, w * cspp,
+                        predictor, rows, w * cspp, cspp,
                     )
                 )
             return np.concatenate(parts)
@@ -298,6 +310,33 @@ def geotiff_tags(
         entries.append((42113, 2, len(s), s))
     entries.sort(key=lambda e: e[0])
     return entries
+
+
+def assemble_tiff_auto(
+    entries: list[tuple], chunk_counts: list[int]
+) -> tuple[bytes, int, bool]:
+    """assemble_tiff with the classic-vs-BigTIFF decision made BEFORE any
+    packing (ADVICE r05 high #2): the old call path assembled classic
+    first and only checked the 4 GiB limit afterwards, but classic packing
+    writes chunk offsets as u32 and raises struct.error as soon as any
+    offset crosses 2^32 — before the check could run — so the BigTIFF
+    auto-switch was dead for every real oversized export. Decide from
+    sum(counts) plus a conservative header bound (IFD + two u32 arrays of
+    len(chunk_counts) entries, with margin); a struct.error from a
+    mis-estimated classic attempt still falls back to BigTIFF.
+
+    Returns (prefix, data_off, bigtiff_used)."""
+    limit = (1 << 32) - 1
+    est_header = 4096 + 16 * len(chunk_counts)
+    if sum(chunk_counts) + est_header <= limit:
+        try:
+            prefix, data_off = assemble_tiff(entries, chunk_counts)
+            if data_off + sum(chunk_counts) <= limit:
+                return prefix, data_off, False
+        except struct.error:
+            pass  # an offset crossed u32 inside classic packing
+    prefix, data_off = assemble_tiff(entries, chunk_counts, bigtiff=True)
+    return prefix, data_off, True
 
 
 def assemble_tiff(
@@ -540,12 +579,17 @@ def ingest_geotiffs(spark, path: str, zoom: int | None = None, tile_side: int = 
     import pandas as pd
     from pyspark.sql import types as T
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
     if zoom is None:
-        first = files.limit(1).collect()
+        # deterministic scene choice (ADVICE r05 low #1): the source's
+        # first row depends on split planning, so on a mixed-resolution
+        # archive the derived zoom could differ run to run — pin it to the
+        # lexicographically-first path (the old glob-sort behavior)
+        first = files.orderBy("path").limit(1).collect()
         if not first:
             raise ValueError(f"no files under {path} to derive zoom from")
         zoom = scene_zoom(bytes(first[0]["content"]), tile_side)
+    files = files.select("content")
 
     schema = T.StructType(
         [

@@ -279,11 +279,15 @@ def test_read_tiled_chunky_predictor2_uint16():
             blk = np.zeros((th, tw, spp), dtype=np.uint16)
             sub = chunky[tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw]
             blk[: sub.shape[0], : sub.shape[1]] = sub
-            rows = blk.reshape(th, tw * spp).astype(np.int64)
+            # TIFF 6.0 horizontal differencing is PER COMPONENT (stride =
+            # samples/pixel), exactly as libtiff writes chunky predictor-2
+            # (ADVICE r05: the old fixture differenced across the flat
+            # interleaved row and pinned the decoder's matching bug)
+            rows = blk.astype(np.int64)  # (th, tw, spp)
             diff = np.concatenate(
-                [rows[:, :1], (rows[:, 1:] - rows[:, :-1])], axis=1
+                [rows[:, :1, :], (rows[:, 1:, :] - rows[:, :-1, :])], axis=1
             ).astype(np.uint16)  # wraparound differencing
-            chunks.append(zlib.compress(diff.astype("<u2").tobytes()))
+            chunks.append(zlib.compress(diff.reshape(th, tw * spp).astype("<u2").tobytes()))
     counts = [len(c) for c in chunks]
     entries = [
         (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, spp, [16, 16]),
@@ -316,6 +320,27 @@ def test_scene_pixel_scale_guard():
     # and the matching failure the other way: right pixels, wrong zoom arg
     with pytest.raises(ValueError, match="resolution off the zoom|outside the zoom"):
         gt.scene_tile_rows(ok, zoom + 1, side)
+
+
+def test_assemble_tiff_auto_switches_before_packing():
+    """ADVICE r05 high #2: a >4 GiB chunk list must come out BigTIFF
+    WITHOUT the classic assembler ever raising struct.error (u32 offset
+    overflow) — the decision happens before packing. Small payloads stay
+    classic."""
+    h = w = 64
+    tile = (16, 16)
+    small = [100] * 32  # 2 bands x 16 tiles
+    entries = gt.geotiff_tags(2, h, w, (-10.0, -10.0, 10.0, 10.0), "epsg:4326",
+                              float("nan"), "deflate", tile, small)
+    prefix, data_off, big = gt.assemble_tiff_auto(entries, small)
+    assert not big and prefix[2:4] == b"\x2a\x00"  # classic magic 42
+    # 3 chunks of 2 GiB each: any offset past the first crosses 2^32
+    huge = [1 << 31, 1 << 31, 1 << 31]
+    entries2 = gt.geotiff_tags(1, 32, 48, (-10.0, -10.0, 10.0, 10.0), "epsg:4326",
+                               float("nan"), "deflate", tile, huge)
+    prefix2, data_off2, big2 = gt.assemble_tiff_auto(entries2, huge)
+    assert big2 and prefix2[2:4] == b"\x2b\x00"  # BigTIFF magic 43
+    assert data_off2 > 0
 
 
 def test_bigtiff_roundtrip_and_header():
