@@ -185,20 +185,35 @@ def spatial_join(
 
     rings_bc = None
     if broadcast_poly:
-        # the caller declared the layer broadcast-sized, so its raw rings
-        # fit in a broadcast variable too: ship geometry ONCE per executor
-        # and keep the candidate rows ring-free (r6 — see _pip_udf_broadcast)
+        # the caller declared the layer broadcast-sized, so its raw rows
+        # fit on the driver: ONE collect feeds (a) a broadcast
+        # {feature_id: ring} dict so candidate rows stay ring-free (r6 —
+        # see _pip_udf_broadcast) and (b) the covering-cell table, computed
+        # driver-side in numpy and shipped as a LocalTableScan — the old
+        # pandas-UDF covering pass cost two extra Spark jobs of pure
+        # latency per join call (profiled ~1.5 s fixed in the scaling
+        # harness's pip stage, the non-scaling part of its wall)
         spark = points.sparkSession
+        rows = poly.select(
+            "feature_id", "ring", "minx", "miny", "maxx", "maxy"
+        ).collect()
         rings_bc = spark.sparkContext.broadcast(
-            {
-                r["feature_id"]: np.asarray(r["ring"], dtype=np.float64)
-                for r in poly.select("feature_id", "ring").collect()
-            }
+            {r["feature_id"]: np.asarray(r["ring"], dtype=np.float64) for r in rows}
         )
+        covers = cells.covering_cells_np(
+            np.array([r["minx"] for r in rows]),
+            np.array([r["miny"] for r in rows]),
+            np.array([r["maxx"] for r in rows]),
+            np.array([r["maxy"] for r in rows]),
+            zoom,
+        )
+        pairs = [
+            (int(r["feature_id"]), int(c))
+            for r, cov in zip(rows, covers)
+            for c in cov
+        ]
         poly_cells = F.broadcast(
-            with_covering_cells(poly, zoom).select(
-                "feature_id", F.explode("covering_cells").alias("_cell")
-            )
+            spark.createDataFrame(pairs, "feature_id long, _cell long")
         )
     else:
         poly_cells = with_covering_cells(poly, zoom).select(
