@@ -33,6 +33,11 @@ from .operators import algebra as A
 
 TILE_KEY = A.TILE_KEY
 
+# projected_windows: window grids up to this size have their window->tile
+# mapping computed driver-side (the mapping is broadcast either way, so it
+# is small by construction); larger exports keep the distributed UDF path.
+DRIVER_WINDOW_PREP_MAX = 4096
+
 
 class Image:
     """A lazy multi-band tiled image: tile-row DataFrame + driver-side schema.
@@ -97,8 +102,26 @@ class Image:
         return cls(df.select(*TILE_KEY, "data", "mask"), [f"B{i+1}" for i in range(nb)], "float64", first["np"])
 
     @classmethod
-    def from_df(cls, df: DataFrame, n_bands: int, n_px: int, dtype: str = "float64") -> "Image":
-        return cls(df.select(*TILE_KEY, "data", "mask"), [f"B{i+1}" for i in range(n_bands)], dtype, n_px)
+    def from_df(
+        cls,
+        df: DataFrame,
+        n_bands: int,
+        n_px: int,
+        dtype: str = "float64",
+        min_zoom: int | None = None,
+        max_zoom: int | None = None,
+    ) -> "Image":
+        # min/max_zoom: callers that know the table's zoom range (fixture
+        # constants, catalog metadata) pass it here so projected_windows /
+        # export skip their max-z metadata job entirely.
+        return cls(
+            df.select(*TILE_KEY, "data", "mask"),
+            [f"B{i+1}" for i in range(n_bands)],
+            dtype,
+            n_px,
+            min_zoom=min_zoom,
+            max_zoom=max_zoom,
+        )
 
     @classmethod
     def from_array(
@@ -533,6 +556,29 @@ class Image:
                 "(reference geoproc/server/image.py:171-178)"
             )
         z = native_zoom if native_zoom is not None else self.max_zoom
+        if bounds is None and z is None:
+            # ONE combined metadata job (r6): max zoom + tile extremes AT
+            # that zoom via lexicographic struct maxima — previously two
+            # sequential .first() jobs (max-z, then derive_bounds), each
+            # paying full job latency for a handful of metadata rows.
+            r = self.df.agg(
+                F.max("z").alias("mz"),
+                F.max(F.struct(F.col("z"), (-F.col("x")).alias("v"))).alias("nx"),
+                F.max(F.struct(F.col("z"), F.col("x").alias("v"))).alias("xx"),
+                F.max(F.struct(F.col("z"), (-F.col("y")).alias("v"))).alias("ny"),
+                F.max(F.struct(F.col("z"), F.col("y").alias("v"))).alias("xy"),
+            ).first()
+            if r["mz"] is None:
+                raise ValueError("no tiles")
+            z = r["mz"]
+            xmin, xmax = -r["nx"]["v"], r["xx"]["v"]
+            ymin, ymax = -r["ny"]["v"], r["xy"]["v"]
+            from .functions import cells as _cells
+
+            w, s, _e, _n = _cells.tile_bounds_np([z], [xmin], [ymax])
+            _w, _s, e, n = _cells.tile_bounds_np([z], [xmax], [ymin])
+            bounds = (float(w[0]), float(s[0]), float(e[0]), float(n[0]))
+            in_crs = "epsg:4326"
         if z is None:
             z = self.df.agg(F.max("z")).first()[0]
         if bounds is None:
@@ -592,15 +638,40 @@ class Image:
                 out.append(((txs[:, None] << 32) | tys[None, :]).ravel().tolist())
             return _pd.Series(out)
 
-        needed_tiles = F.pandas_udf(_needed_tiles, T.ArrayType(T.LongType()))
-
-        wtiles = windows.withColumn(
-            "_pk", F.explode(needed_tiles("col_off", "row_off", "win_w", "win_h"))
-        ).select(
-            "wid", "col_off", "row_off", "win_w", "win_h",
-            F.shiftrightunsigned("_pk", 32).cast("int").alias("x"),
-            (F.col("_pk") % F.lit(1 << 32)).cast("int").alias("y"),
-        )
+        n_win = wcols * wrows
+        if n_win <= DRIVER_WINDOW_PREP_MAX:
+            # driver-side window->tile-range prep (r6): wtiles is broadcast
+            # below, i.e. REQUIRED to be small — computing it with the SAME
+            # numpy routine on the driver and shipping a local relation
+            # removes the pandas-UDF worker round-trip and its Spark job
+            # from the critical path (the move spatial_join made for its
+            # polygon prep). The distributed explode path remains for
+            # exports whose window grid exceeds the cap.
+            co = ((_np.arange(n_win) % wcols) * window_size).astype(_np.int64)
+            ro = ((_np.arange(n_win) // wcols) * window_size).astype(_np.int64)
+            ww = _np.minimum(window_size, width - co).astype(_np.int64)
+            wh = _np.minimum(window_size, height - ro).astype(_np.int64)
+            packed = _needed_tiles(co, ro, ww, wh)
+            rows = [
+                (int(w_), int(co[w_]), int(ro[w_]), int(ww[w_]), int(wh[w_]),
+                 int(pk >> 32), int(pk & 0xFFFFFFFF))
+                for w_, pks in enumerate(packed)
+                for pk in pks
+            ]
+            wtiles = self.df.sparkSession.createDataFrame(
+                rows,
+                "wid bigint, col_off int, row_off int, win_w int, win_h int, "
+                "x int, y int",
+            )
+        else:
+            needed_tiles = F.pandas_udf(_needed_tiles, T.ArrayType(T.LongType()))
+            wtiles = windows.withColumn(
+                "_pk", F.explode(needed_tiles("col_off", "row_off", "win_w", "win_h"))
+            ).select(
+                "wid", "col_off", "row_off", "win_w", "win_h",
+                F.shiftrightunsigned("_pk", 32).cast("int").alias("x"),
+                (F.col("_pk") % F.lit(1 << 32)).cast("int").alias("y"),
+            )
         tiles = self.df.filter(F.col("z") == z).select("x", "y", "data", "mask")
         # the window-tile list is the SMALL side (windows x tiles-per-window
         # keys, no pixel payloads) — broadcast it so the big tile table
@@ -665,15 +736,16 @@ class Image:
         # Broadcast the key-only RIGHT side: Spark can only build the
         # non-preserved side of a left-semi join, so hinting the left
         # (preserved) side is rejected with a WARN and both sides shuffle.
-        matched = (
-            wtiles.join(
-                F.broadcast(tiles.select("x", "y")), ["x", "y"], "left_semi"
-            )
-            .select("wid")
-            .distinct()
-        )
+        # no .distinct() on matched (r6): a left-anti probe only tests
+        # existence, so duplicate wids are harmless — the distinct was a
+        # full Exchange + aggregate stage for nothing. matched is bounded
+        # by |wtiles| (broadcast-sized by construction), so it broadcasts
+        # into the anti-join and the window table never shuffles either.
+        matched = wtiles.join(
+            F.broadcast(tiles.select("x", "y")), ["x", "y"], "left_semi"
+        ).select("wid")
         empty = (
-            windows.join(matched, "wid", "left_anti")
+            windows.join(F.broadcast(matched), "wid", "left_anti")
             .selectExpr(
                 "col_off",
                 "row_off",

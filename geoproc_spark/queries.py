@@ -383,33 +383,44 @@ def tile_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     B(1-band, partial overlap), comparison, abs-chain, scalar ops — per-tile
     BIGINT checksums. Exercises outer-join bounds union, np.maximum mask
     union, float64 0/1 comparisons, and 1-band broadcast in one query."""
-    from .image import Image
+    from .operators import algebra as A
 
-    a = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
-    b = Image.from_df(synth.tiles_df(spark, "B"), synth.TILE_BANDS["B"], synth.TILE_PX)
-    c = a + b
-    d = a > b
-    e = abs(a - b)
-    s = a * 2 + 1
-
-    def sums(img, data_alias, with_mask=None):
-        cols = [
-            "z",
-            "x",
-            "y",
-            _sum_px(F.col("data"), img.n_bands).alias(data_alias),
-        ]
-        if with_mask:
-            cols.append(_mask_sum(F.col("mask")).alias(with_mask))
-        return img.df.select(*cols)
-
-    out = (
-        sums(c, "sum_c", with_mask="mask_c")
-        .join(sums(d, "sum_d"), ["z", "x", "y"])
-        .join(sums(e, "sum_e"), ["z", "x", "y"])
-        .join(sums(s, "sum_s"), ["z", "x", "y"], "left_outer")
+    # ONE tile-key alignment for the whole pipeline (r6): the Image-op
+    # composition (a+b, a>b, abs(a-b), a*2+1, then three result joins)
+    # aligned the same A/B pair once per derived image — six joins of the
+    # same two frames. The pixel expressions below come from the SAME
+    # algebra kernel builders the Image ops delegate to (binary_data /
+    # abs_data / scalar_data / mask_union), applied over a single
+    # full-outer align, so every checksum is bit-identical (pinned by the
+    # unchanged VALUES oracle) while the plan drops from six joins to one.
+    nb_a, nb_b, n_px = synth.TILE_BANDS["A"], synth.TILE_BANDS["B"], synth.TILE_PX
+    adf = synth.tiles_df(spark, "A").select(
+        "z", "x", "y", F.col("data").alias("_da"), F.col("mask").alias("_ma")
     )
-    return out
+    bdf = synth.tiles_df(spark, "B").select(
+        "z", "x", "y", F.col("data").alias("_db"), F.col("mask").alias("_mb")
+    )
+    j = adf.join(bdf, ["z", "x", "y"], "full_outer")
+    in_a = F.col("_da").isNotNull()  # the left_outer(sum_s) indicator
+    da = F.coalesce("_da", A.zero_data(nb_a, n_px))
+    ma = F.coalesce("_ma", A.zero_mask(n_px))
+    db = F.coalesce("_db", A.zero_data(nb_b, n_px))
+    mb = F.coalesce("_mb", A.zero_mask(n_px))
+    c_data = A.binary_data("add", da, db, nb_a, nb_b)
+    c_mask = A.mask_union(ma, mb)
+    d_data = A.binary_data("gt", da, db, nb_a, nb_b)
+    e_data = A.abs_data(A.binary_data("sub", da, db, nb_a, nb_b), max(nb_a, nb_b))
+    s_data = A.scalar_data("add", A.scalar_data("mul", da, 2.0, nb_a), 1.0, nb_a)
+    return j.select(
+        "z",
+        "x",
+        "y",
+        _sum_px(c_data, max(nb_a, nb_b)).alias("sum_c"),
+        _mask_sum(c_mask).alias("mask_c"),
+        _sum_px(d_data, max(nb_a, nb_b)).alias("sum_d"),
+        _sum_px(e_data, max(nb_a, nb_b)).alias("sum_e"),
+        F.when(in_a, _sum_px(s_data, nb_a)).alias("sum_s"),
+    )
 
 
 # ----------------------------------------------------------------- tile_render
@@ -1813,7 +1824,10 @@ def tile_export_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the independent numpy resampler."""
     from .image import Image
 
-    img = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    img = Image.from_df(
+        synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX,
+        max_zoom=synth.TILE_Z,
+    )
     wdf, _spec = img.projected_windows(scale=400000.0, crs="epsg:4326", window_size=32)
     return wdf.selectExpr(
         "col_off",
@@ -1845,7 +1859,10 @@ def tile_export_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel in functions/tmerc.py."""
     from .image import Image
 
-    img = Image.from_df(synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX)
+    img = Image.from_df(
+        synth.tiles_df(spark, "A"), synth.TILE_BANDS["A"], synth.TILE_PX,
+        max_zoom=synth.TILE_Z,
+    )
     wdf, _spec = img.projected_windows(
         scale=10000.0, crs="epsg:32630", bounds=(-6.0, 40.0, -0.5, 50.0),
         window_size=32,
