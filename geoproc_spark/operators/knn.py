@@ -42,28 +42,50 @@ def _pages_with_cell(pages: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def _ring_cells_np(lat_s, lon_s, zoom: int, radius: int) -> list[list[int]]:
+    """Cells within `radius` tiles of each point's cell (x wraps around the
+    antimeridian, y clamps to the grid) — plain numpy, shared by the pandas
+    UDF and the driver-resident query path."""
+    n = 1 << zoom
+    xt, yt = cells.tile_xy_np(
+        np.asarray(lat_s, dtype=np.float64) / SCALE,
+        np.asarray(lon_s, dtype=np.float64) / SCALE,
+        zoom,
+    )
+    offs = np.arange(-radius, radius + 1, dtype=np.int64)
+    zbase = np.int64(zoom) << (2 * cells.Z_BITS)
+    xs = (xt[:, None] + offs[None, :]) % n
+    ys = yt[:, None] + offs[None, :]
+    out = []
+    for i in range(len(xt)):
+        yy = ys[i][(ys[i] >= 0) & (ys[i] < n)]
+        grid = zbase | (xs[i][:, None] << cells.Z_BITS) | yy[None, :]
+        out.append(np.unique(grid.ravel()).tolist())
+    return out
+
+
+def _bbox_cells_np(lat_s, lon_s, d_k, zoom: int) -> list[list[int]]:
+    """Covering cells of [q +- r] where r = ceil(sqrt(d_k)) scaled units —
+    plain numpy twin of the phase-2 cover UDF."""
+    la = np.asarray(lat_s, dtype=np.float64)
+    lo = np.asarray(lon_s, dtype=np.float64)
+    r = np.ceil(np.sqrt(np.asarray(d_k, dtype=np.float64)))
+    covers = cells.covering_cells_np(
+        np.maximum((lo - r) / SCALE, -180.0),
+        np.maximum((la - r) / SCALE, -cells.MAX_LAT),
+        np.minimum((lo + r) / SCALE, 180.0),
+        np.minimum((la + r) / SCALE, cells.MAX_LAT),
+        zoom,
+    )
+    return [c.tolist() for c in covers]
+
+
 def _ring_cells_udf(zoom: int, radius: int):
-    """ARRAY<BIGINT> of cells within `radius` tiles of the point's cell
-    (x wraps around the antimeridian, y clamps to the grid)."""
+    """ARRAY<BIGINT> of cells within `radius` tiles of the point's cell."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def ring(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
-        n = 1 << zoom
-        xt, yt = cells.tile_xy_np(
-            lat_s.to_numpy(dtype=np.float64) / SCALE,
-            lon_s.to_numpy(dtype=np.float64) / SCALE,
-            zoom,
-        )
-        offs = np.arange(-radius, radius + 1, dtype=np.int64)
-        zbase = np.int64(zoom) << (2 * cells.Z_BITS)
-        xs = (xt[:, None] + offs[None, :]) % n
-        ys = yt[:, None] + offs[None, :]
-        out = []
-        for i in range(len(xt)):
-            yy = ys[i][(ys[i] >= 0) & (ys[i] < n)]
-            grid = zbase | (xs[i][:, None] << cells.Z_BITS) | yy[None, :]
-            out.append(np.unique(grid.ravel()).tolist())
-        return pd.Series(out)
+        return pd.Series(_ring_cells_np(lat_s.to_numpy(), lon_s.to_numpy(), zoom, radius))
 
     return ring
 
@@ -73,17 +95,11 @@ def _bbox_cells_udf(zoom: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cover(lat_s: pd.Series, lon_s: pd.Series, d_k: pd.Series) -> pd.Series:
-        la = lat_s.to_numpy(dtype=np.float64)
-        lo = lon_s.to_numpy(dtype=np.float64)
-        r = np.ceil(np.sqrt(d_k.to_numpy(dtype=np.float64)))
-        covers = cells.covering_cells_np(
-            np.maximum((lo - r) / SCALE, -180.0),
-            np.maximum((la - r) / SCALE, -cells.MAX_LAT),
-            np.minimum((lo + r) / SCALE, 180.0),
-            np.minimum((la + r) / SCALE, cells.MAX_LAT),
-            zoom,
+        return pd.Series(
+            _bbox_cells_np(
+                lat_s.to_numpy(), lon_s.to_numpy(), d_k.to_numpy(), zoom
+            )
         )
-        return pd.Series([c.tolist() for c in covers])
 
     return cover
 
@@ -102,6 +118,7 @@ def knn_join(
     max_rounds: int = 12,
     n_pages: int | None = None,
     k_max: int | None = None,
+    collect_queries: bool = True,
 ) -> DataFrame:
     """Exact kNN: queries(qid, qlat_s, qlon_s, k) x pages(page_id, lat_s, lon_s)
     -> (qid, page_id, rank).
@@ -124,7 +141,16 @@ def knn_join(
     per query."""
     from ._cache import swap_cache
 
-    kmax = k_max if k_max is not None else queries.agg(F.max("k")).first()[0] or 1
+    qrows: list[tuple[int, int, int, int]] | None = None
+    if collect_queries:
+        # one collect serves kmax AND every round's ring metadata below
+        qrows = [
+            (int(r["qid"]), int(r["qlat_s"]), int(r["qlon_s"]), int(r["k"]))
+            for r in queries.select("qid", "qlat_s", "qlon_s", "k").collect()
+        ]
+        kmax = k_max if k_max is not None else (max((q[3] for q in qrows), default=1) or 1)
+    else:
+        kmax = k_max if k_max is not None else queries.agg(F.max("k")).first()[0] or 1
     wpos = Window.partitionBy("lat_s", "lon_s").orderBy("page_id")
     pages_c = swap_cache(
         "knn_pages_cell",
@@ -150,6 +176,94 @@ def knn_join(
     density = n_pages / float(4**zoom)
     cells_needed = max(9.0, 3.0 * kmax / max(density, 1e-12))
     radius = min(1 << zoom, max(1, math.ceil((math.sqrt(cells_needed) - 1) / 2)))
+
+    spark = queries.sparkSession
+    if collect_queries:
+        # Driver-resident query metadata (r6): the query side is the SMALL
+        # side of a kNN join by construction — every round already ships it
+        # whole as a broadcast, so its rows fit on the driver (the same
+        # size argument spatial_join's broadcast_poly collect makes). With
+        # the rows local, each round is ONE Spark job: ring cells come from
+        # the same numpy routine the UDF wraps (no Python-worker trip, the
+        # broadcast side is a local relation), the per-query kth bound
+        # comes back via a collect of <= |unresolved| tiny rows (replacing
+        # localCheckpoint + anti-join + isEmpty — two extra jobs per
+        # round), and convergence is a set difference in Python. Pass
+        # collect_queries=False for query tables too large to hold
+        # driver-side; the fully-distributed loop below is unchanged.
+        unresolved_l = qrows
+        bounds_l: list[tuple[int, int, int, int, float]] = []
+        for _ in range(max_rounds):
+            rings = _ring_cells_np(
+                [q[1] for q in unresolved_l], [q[2] for q in unresolved_l],
+                zoom, radius,
+            )
+            qcells = spark.createDataFrame(
+                [
+                    (qid, la, lo, k, int(c))
+                    for (qid, la, lo, k), cs in zip(unresolved_l, rings)
+                    for c in cs
+                ],
+                "qid long, qlat_s long, qlon_s long, k int, _cell long",
+            )
+            cand = F.broadcast(qcells).join(pages_c, "_cell", "inner").select(
+                "qid", "qlat_s", "qlon_s", "k", "page_id", _d2()
+            )
+            wq = Window.partitionBy("qid").orderBy(
+                F.col("d2").asc(), F.col("page_id").asc()
+            )
+            kth = (
+                cand.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= F.col("k"))
+                .groupBy("qid", "qlat_s", "qlon_s", "k")
+                .agg(F.count("*").alias("n"), F.max("d2").alias("d_k"))
+            )
+            resolved_rows = kth.filter(F.col("n") >= F.col("k")).select(
+                "qid", "qlat_s", "qlon_s", "k", "d_k"
+            ).collect()
+            bounds_l.extend(
+                (int(r["qid"]), int(r["qlat_s"]), int(r["qlon_s"]), int(r["k"]),
+                 float(r["d_k"]))
+                for r in resolved_rows
+            )
+            done_ids = {int(r["qid"]) for r in resolved_rows}
+            unresolved_l = [q for q in unresolved_l if q[0] not in done_ids]
+            if not unresolved_l:
+                break
+            radius *= 2
+        else:
+            # Degenerate corpus (< k pages anywhere): full-scan bound.
+            bounds_l.extend(
+                (qid, la, lo, k, float((4e6) ** 2 * 2))
+                for qid, la, lo, k in unresolved_l
+            )
+        # Phase 2 (driver-prepped): same certified-radius exact top-k; the
+        # cover cells come from the numpy twin of the cover UDF.
+        covers = _bbox_cells_np(
+            [b[1] for b in bounds_l], [b[2] for b in bounds_l],
+            [b[4] for b in bounds_l], zoom,
+        )
+        qcover = spark.createDataFrame(
+            [
+                (qid, la, lo, k, dk, int(c))
+                for (qid, la, lo, k, dk), cs in zip(bounds_l, covers)
+                for c in cs
+            ],
+            "qid long, qlat_s long, qlon_s long, k int, d_k double, _cell long",
+        )
+        cand2 = (
+            F.broadcast(qcover).join(pages_c, "_cell", "inner")
+            .select("qid", "k", "page_id", _d2(), "d_k")
+            .filter(F.col("d2") <= F.col("d_k"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("d2").asc(), F.col("page_id").asc()
+        )
+        return (
+            cand2.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("qid", "page_id", "rank")
+        )
 
     unresolved = queries.select("qid", "qlat_s", "qlon_s", "k")
     bounds = None
