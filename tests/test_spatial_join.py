@@ -221,3 +221,41 @@ def test_knn_sparse_multi_round_flat_lineage(spark):
         for rank, j in enumerate(order, start=1):
             want.add((qid, int(arr[j, 0]), rank))
     assert got == want
+
+
+def test_knn_collect_and_distributed_paths_agree(spark):
+    """knn_join's driver-resident query path (collect_queries=True, the
+    default) and the fully-distributed loop must return identical exact
+    top-k, including multi-round ring expansion and the brute-force twin."""
+    from geoproc_spark.operators import knn as knn_op
+
+    pts = [
+        (i, int((i * 37 % 140 - 70) * 1e4), int((i * 83 % 340 - 170) * 1e4))
+        for i in range(8)
+    ]
+    pages = spark.createDataFrame(pts, "page_id long, lat_s long, lon_s long")
+    queries = spark.createDataFrame(
+        [(0, 0, 0, 3), (1, 500000, 900000, 2)],
+        "qid long, qlat_s long, qlon_s long, k int",
+    )
+    got_c = {
+        (r.qid, r.page_id, r.rank)
+        for r in knn_op.knn_join(
+            queries, pages, zoom=6, n_pages=8, collect_queries=True
+        ).collect()
+    }
+    got_d = {
+        (r.qid, r.page_id, r.rank)
+        for r in knn_op.knn_join(
+            queries, pages, zoom=6, n_pages=8, collect_queries=False
+        ).collect()
+    }
+    assert got_c == got_d
+    want = set()
+    arr = np.array(pts, dtype=np.int64)
+    for qid, qla, qlo, k in [(0, 0, 0, 3), (1, 500000, 900000, 2)]:
+        d2 = (arr[:, 1] - qla) ** 2 + (arr[:, 2] - qlo) ** 2
+        order = np.lexsort((arr[:, 0], d2))[:k]
+        for rank, j in enumerate(order, start=1):
+            want.add((qid, int(arr[j, 0]), rank))
+    assert got_c == want
