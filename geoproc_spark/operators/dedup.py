@@ -290,6 +290,7 @@ def connected_components(
     stats (optional): filled with {"rounds": total propagation rounds run,
     "batches": driver round-trips} for loop-shape assertions.
     """
+    from . import _cache
     from ._cache import swap_cache
 
     # edges are re-joined EVERY round: persist them, or each iteration
@@ -362,14 +363,22 @@ def connected_components(
         # doubles per round — persist caches data but not the plan, and a
         # diameter-d graph OOMs the driver during analysis at ~2^d nodes
         # (found by the chain test). The checkpoint truncates lineage to a
-        # leaf, keeping plan size CONSTANT per batch; blocks are released
-        # on GC and bounded by the handful of label tables (tiny rows).
+        # leaf, keeping plan size CONSTANT per batch.
+        old_batch = prev
         cur = cur.localCheckpoint()
         # labels only ever decrease, so `< _old` == "the final round of the
         # batch changed something" — the fused convergence check
         stable = cur.filter(F.col("component") < F.col("_old")).isEmpty()
         prev = cur
         labels = cur.drop("_old")
+        # the superseded batch's checkpoint blocks are unreachable the
+        # moment the new batch materializes — release them NOW instead of
+        # waiting for the ContextCleaner to GC the py4j handles (r6:
+        # profiled creep of 6 -> 10 pinned RDDs / 156 -> 330 MB across
+        # bench repeats; a forced GC reclaimed them and removed the
+        # repeat-over-repeat slowdown)
+        if old_batch is not None:
+            _cache.release_checkpoint_df(old_batch)
         done += batch
         batches += 1
         batch_size *= 2
@@ -377,6 +386,11 @@ def connected_components(
             break
     if stats is not None:
         stats["rounds"], stats["batches"] = done, batches
+    # the FINAL batch's checkpoint backs the returned plan: keep it alive,
+    # but register it so the NEXT invocation releases it (the swap_cache
+    # single-copy contract, terminal for checkpoints — see _cache)
+    if prev is not None:
+        _cache.adopt_checkpoint("cc_labels_final", prev)
     active = prev.drop("_old") if prev is not None else labels
     # restore singletons: every id not in the active set is its own
     # component. The right side is the (tiny) near-dup label table —

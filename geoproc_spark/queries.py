@@ -805,9 +805,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near's stragglers (guide §2.6).
     from concurrent.futures import ThreadPoolExecutor
 
+    from .operators import _cache as _ck
+
+    # swap_checkpoint (r6): same two checkpoints as before, but each
+    # invocation releases the previous one's blocks deterministically —
+    # without it every bench repeat pinned another near/exact/labels
+    # checkpoint until the ContextCleaner happened to GC the handles
+    # (profiled 156 -> 330 MB creep over 4 reps, see _cache).
     with ThreadPoolExecutor(max_workers=2) as pool:
         near_ck, exact_ck = pool.map(
-            lambda df: df.localCheckpoint(), (near, exact)
+            lambda kv: _ck.swap_checkpoint(kv[0], kv[1]),
+            (("dedup_cc_near", near), ("dedup_cc_exact", exact)),
         )
     pairs = near_ck.unionByName(exact_ck).distinct()
     # check_every=3 (r6): near-dup graphs are near-cliques (diameter <= 2

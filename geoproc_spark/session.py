@@ -24,6 +24,15 @@ ENGINE_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Deterministic parquet scans regardless of file layout.
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Long-lived sessions run MANY queries: unreferenced broadcasts,
+    # shuffle files and RDD metadata are only released when the
+    # ContextCleaner sees a JVM GC, and the default periodic-GC interval
+    # (30 min) exceeds a whole bench/pipeline session — profiled as a
+    # monotonic repeat-over-repeat slowdown that a forced System.gc()
+    # reproducibly removed (r6). 45 s keeps the cleaner's backlog bounded;
+    # the same setting is standard hygiene for long-running drivers on
+    # real clusters.
+    "spark.cleaner.periodicGC.interval": "45s",
 }
 
 
