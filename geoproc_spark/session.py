@@ -29,10 +29,11 @@ ENGINE_CONF = {
     # ContextCleaner sees a JVM GC, and the default periodic-GC interval
     # (30 min) exceeds a whole bench/pipeline session — profiled as a
     # monotonic repeat-over-repeat slowdown that a forced System.gc()
-    # reproducibly removed (r6). 45 s keeps the cleaner's backlog bounded;
-    # the same setting is standard hygiene for long-running drivers on
-    # real clusters.
-    "spark.cleaner.periodicGC.interval": "45s",
+    # reproducibly removed (r6). 2 min keeps the cleaner's backlog bounded
+    # (vs a whole session under the default) without firing a full GC
+    # inside every short query; the same setting is standard hygiene for
+    # long-running drivers on real clusters.
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 
